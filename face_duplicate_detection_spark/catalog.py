@@ -1,0 +1,69 @@
+"""Thin table layer: checkpointed stage tables with commit manifests.
+
+Production target is Iceberg (transactional snapshots per stage =
+resume points; BASELINE.json north_rule).  This sandbox has no Iceberg
+runtime jar and no network for ``--packages``, so the same contract is
+provided over parquet directories: a stage write is atomic-enough via
+write-then-manifest — a ``_manifest.json`` is written only after the
+parquet commit succeeds, and a stage is considered committed iff its
+manifest exists.  All job code goes through this module and is
+format-agnostic (SURVEY.md §7 preamble).
+
+Reference analogue: the per-batch flush + carried state that makes the
+reference incrementally resumable across batches
+(``/root/reference/duplicate_face.py:164-198`` — known encodings and
+the duplicates dict persist across ``process_batch`` calls, results
+written after every batch at 195-196).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StageCatalog:
+    """Directory of committed stage tables for one pipeline run."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._manifest.json")
+
+    def is_committed(self, name: str) -> bool:
+        return os.path.exists(self._manifest(name))
+
+    def write(self, name: str, df: DataFrame, meta: dict | None = None) -> None:
+        path = self._path(name)
+        df.write.mode("overwrite").parquet(path)
+        manifest = {
+            "table": name,
+            "path": path,
+            "committed_at_unix": time.time(),
+            **(meta or {}),
+        }
+        tmp = self._manifest(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if not self.is_committed(name):
+            raise FileNotFoundError(f"stage table not committed: {name}")
+        return spark.read.parquet(self._path(name))
+
+    def read_manifest(self, name: str) -> dict:
+        with open(self._manifest(name)) as f:
+            return json.load(f)
+
+    def invalidate(self, name: str) -> None:
+        if self.is_committed(name):
+            os.remove(self._manifest(name))

@@ -1,0 +1,73 @@
+"""Engine configuration.
+
+The reference hardcodes its knobs as module constants
+(``/root/reference/duplicate_face.py:14,251`` batch size + root dir;
+``face_recognition_custom.py:16-19`` thresholds).  Here every knob is
+a field on one frozen dataclass so the "identical shingle/signature
+config" contract (BASELINE.json ``north_rule``) is a single value that
+the engine, the tests, and the oracles all share.
+
+Reference threshold analogues:
+
+- ``jaccard_threshold`` ↔ Euclidean tolerance 0.32
+  (``duplicate_face.py:67``) / cosine sim > 0.65
+  (``face_recognition_custom.py:18,106``): the match predicate.
+- ``min_text_chars`` / ``min_distinct_token_ratio`` ↔ Laplacian blur
+  variance < 100 quality pre-filter
+  (``face_recognition_custom.py:19,32-34``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (F1) ---
+    shingle_k: int = 8              # k-char shingles over normalized text
+    lowercase: bool = True
+    fold_whitespace: bool = True    # collapse runs of whitespace to one space
+
+    # --- MinHash (F2) ---
+    num_perms: int = 128            # signature length (reference: 128-d encodings)
+    minhash_seed: int = 42          # seeds the (a_i, b_i) multiply-shift params
+
+    # --- SimHash (F2) ---
+    simhash_bits: int = 64
+    simhash_hamming_threshold: int = 3   # bit_count(a ^ b) <= h ⇒ near-dup
+
+    # --- LSH banding (J1) ---
+    num_bands: int = 32             # bands × rows_per_band == num_perms
+    # at s = jaccard_threshold = 0.8: P(candidate) = 1-(1-s^4)^32 ≈ 1 - 5e-8
+
+    # --- verification (J2/J3) ---
+    jaccard_threshold: float = 0.8  # exact shingle-set Jaccard ≥ θ ⇒ duplicate
+
+    # --- skew handling (north_rule: salted-key mitigation) ---
+    bucket_cap: int = 64            # buckets larger than this use chain pairing
+    chain_window: int = 2           # oversized bucket: pair doc with next W ids
+
+    # --- quality / status tagging (P2/P3/P4) ---
+    min_text_chars: int = 16
+    min_distinct_token_ratio: float = 0.05
+
+    # --- long-span (suffix) stage (F4) ---
+    span_window: int = 64           # exact window length hashed for anchors
+    span_min_len: int = 256         # report spans at least this long
+    span_winnow: int = 16           # keep 1-of-w anchors at scale (winnowing)
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    signature_batch_docs: int = 2048  # numpy chunking inside the pandas UDF
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_perms % self.num_bands == 0
+        return self.num_perms // self.num_bands
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = DedupConfig()

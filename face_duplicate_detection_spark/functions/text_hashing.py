@@ -1,0 +1,166 @@
+"""Vectorized text-signature kernels (numpy, no per-row Python hot loops).
+
+These are the text analogues of the reference's per-image embedding
+call (``/root/reference/duplicate_face.py:43-44`` — one 128-d float
+vector per face via dlib).  Here a document becomes:
+
+- a set of k-char shingle hashes  (F1 in SURVEY.md §2.3)
+- a 128-perm MinHash signature     (F2) — multiply-shift permutations
+- a 64-bit SimHash fingerprint     (F2) — bitwise majority vote
+- per-band LSH hashes              (J1) — banded signature folding
+
+All kernels operate on a *batch* of documents at once (lists/Series in,
+arrays out) so the pandas-UDF wrapper in ``operators/signatures.py``
+stays Arrow-batched end to end.  Arithmetic is uint64 with natural
+mod-2^64 wraparound; multipliers are odd so multiply-shift is a
+permutation of Z_2^64.  Everything is seeded and deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_SHINGLE_BASE = _U64(1099511628211)     # FNV-ish odd base for rolling hash
+_SHINGLE_OFFSET = _U64(14695981039346656037)
+_MIX_MUL = _U64(0x9E3779B97F4A7C15)     # splitmix64 constant
+
+
+def normalize_text(text: str, lowercase: bool = True, fold_whitespace: bool = True) -> str:
+    """Pure normalization shared by engine, oracle, and fixtures.
+
+    (The byte-identical-text invariant of BASELINE.json input_hint
+    depends on this being the *only* normalization anywhere.)
+    """
+    if text is None:
+        return ""
+    if lowercase:
+        text = text.lower()
+    if fold_whitespace:
+        text = " ".join(text.split())
+    return text
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanche uint64 values (vectorized)."""
+    x = x.astype(_U64, copy=True)
+    x ^= x >> _U64(30)
+    x *= _U64(0xBF58476D1CE4E5B9)
+    x ^= x >> _U64(27)
+    x *= _U64(0x94D049BB133111EB)
+    x ^= x >> _U64(31)
+    return x
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char shingle hashes of one normalized text → uint64[].
+
+    Polynomial rolling hash over the byte sequence, fully vectorized:
+    h[i] = offset + Σ_j c[i+j] · base^(k-1-j)  (mod 2^64), then mixed.
+    Texts shorter than k yield a single hash of the whole text.
+    """
+    data = text.encode("utf-8", errors="replace")
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    c = np.frombuffer(data, dtype=np.uint8).astype(_U64)
+    if n <= k:
+        pows = np.power(_SHINGLE_BASE, np.arange(n - 1, -1, -1, dtype=_U64))
+        h = _SHINGLE_OFFSET + (c * pows).sum(dtype=_U64)
+        return _mix64(np.array([h], dtype=_U64))
+    windows = np.lib.stride_tricks.sliding_window_view(c, k)
+    pows = np.power(_SHINGLE_BASE, np.arange(k - 1, -1, -1, dtype=_U64))
+    h = _SHINGLE_OFFSET + (windows * pows).sum(axis=1, dtype=_U64)
+    return np.unique(_mix64(h))
+
+
+def minhash_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) multiply-shift parameters; a forced odd."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perms, dtype=np.uint64) * _U64(2) + _U64(1)
+    b = rng.integers(0, 2**63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_batch(
+    shingle_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """128-perm MinHash for a batch of shingle-hash sets.
+
+    One (num_perms × total_shingles) broadcast multiply per chunk, then
+    ``np.minimum.reduceat`` over per-doc offsets — no per-shingle Python.
+    Empty docs get the all-max sentinel signature (they never collide).
+    Returns int64 (num_docs × num_perms) — signed view for Spark LongType.
+    """
+    num_perms = a.shape[0]
+    n_docs = len(shingle_sets)
+    out = np.full((n_docs, num_perms), np.iinfo(np.uint64).max, dtype=_U64)
+    lens = np.fromiter((s.size for s in shingle_sets), dtype=np.int64, count=n_docs)
+    nonempty = np.flatnonzero(lens > 0)
+    if nonempty.size == 0:
+        return out.view(np.int64)
+    # chunk docs so the (perms × shingles) matrix stays ~64 MB
+    max_shingles = max(1, (64 << 20) // (8 * num_perms))
+    i = 0
+    while i < nonempty.size:
+        j = i
+        total = 0
+        while j < nonempty.size and (total == 0 or total + lens[nonempty[j]] <= max_shingles):
+            total += lens[nonempty[j]]
+            j += 1
+        idx = nonempty[i:j]
+        concat = np.concatenate([shingle_sets[d] for d in idx])
+        hv = np.multiply(a[:, None], concat[None, :])            # perms × total
+        hv += b[:, None]
+        offsets = np.zeros(idx.size, dtype=np.int64)
+        np.cumsum(lens[idx][:-1], out=offsets[1:])
+        out[idx] = np.minimum.reduceat(hv, offsets, axis=1).T    # docs × perms
+        i = j
+    return out.view(np.int64)
+
+
+def simhash_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per doc: majority vote over shingle-hash bits.
+
+    Returns int64 (num_docs,).  Empty docs get 0.
+    """
+    n_docs = len(shingle_sets)
+    out = np.zeros(n_docs, dtype=_U64)
+    bit_idx = np.arange(64, dtype=_U64)
+    for d, s in enumerate(shingle_sets):
+        if s.size == 0:
+            continue
+        bits = (s[:, None] >> bit_idx[None, :]) & _U64(1)        # n × 64
+        votes = bits.sum(axis=0, dtype=np.int64)
+        majority = (votes * 2 > s.size).astype(_U64)
+        out[d] = (majority << bit_idx).sum(dtype=_U64)
+    return out.view(np.int64)
+
+
+def band_hashes(signatures: np.ndarray, num_bands: int) -> np.ndarray:
+    """LSH band hashes from MinHash signatures.
+
+    signatures: int64 (num_docs × num_perms).  Each band of r rows is
+    folded with a mixed multiply-accumulate, then the band index is
+    mixed in so identical values in different bands never collide.
+    Returns int64 (num_docs × num_bands).
+    """
+    sigs = signatures.view(_U64)
+    n_docs, num_perms = sigs.shape
+    r = num_perms // num_bands
+    banded = sigs.reshape(n_docs, num_bands, r)
+    acc = np.zeros((n_docs, num_bands), dtype=_U64)
+    for col in range(r):
+        acc = _mix64(acc * _MIX_MUL + banded[:, :, col])
+    acc = _mix64(acc + (np.arange(num_bands, dtype=_U64) * _MIX_MUL)[None, :])
+    return acc.view(np.int64)
+
+
+def window_hashes(text: str, window: int) -> np.ndarray:
+    """Rolling hashes of every length-`window` char substring (stride 1).
+
+    Used by the long-span (suffix) stage: two docs sharing an exact
+    substring of length ≥ window share at least one window hash.
+    Returns uint64[] (possibly with duplicates removed).
+    """
+    return shingle_hashes(text, window)

@@ -1,0 +1,54 @@
+"""Exact deduplication: hash-groupBy on normalized text.
+
+The cheap fast path the reference lacks (it pays a full embedding +
+nested scan even for byte-identical images; the closest analogue is a
+distance-0 match at ``/root/reference/duplicate_face.py:66-67``).
+At 100 TB this stage removes the (typically large) exact-copy mass
+before any signature work: one map-side-combinable groupBy on a 64-bit
+text hash, no Python, no arrays.
+
+Also used inside the pipeline: only one representative per exact-text
+group proceeds to MinHash/LSH, and exact edges (rep ↔ member) are
+unioned into the CC edge set afterwards — a 1000-executor run never
+MinHashes the same text twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_text_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("text_hash", F.xxhash64(F.col(text_col)))
+
+
+def exact_clusters(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """docs(doc_id, text) → (doc_id, exact_cluster_id = min doc_id of
+    identical-text group)."""
+    hashed = with_text_hash(docs)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text_hash")
+    return hashed.select(
+        id_col, F.min(id_col).over(w).alias("exact_cluster_id")
+    )
+
+
+def exact_dup_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(rep, member) edges for identical-text groups of size ≥ 2."""
+    c = exact_clusters(docs, id_col)
+    return c.filter(F.col(id_col) != F.col("exact_cluster_id")).select(
+        F.col("exact_cluster_id").alias("a"), F.col(id_col).alias("b")
+    )
+
+
+def exact_representatives(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: the min-doc_id representative.
+
+    groupBy(text_hash) → min(doc_id), then semi-join back — avoids
+    carrying the text column through the aggregation shuffle twice.
+    """
+    hashed = with_text_hash(docs)
+    reps = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(reps, ["text_hash", id_col], "left_semi").drop("text_hash")

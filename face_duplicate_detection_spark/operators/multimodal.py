@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The reference decodes images with cv2/dlib
+(``/root/reference/duplicate_face.py:43``,
+``face_recognition_custom.py:66``).  Image/audio codec libraries are
+not available in this container, so the *decode kernel* is stubbed
+behind ``NotImplementedError`` with a deterministic fake used by tests
+— but everything Spark-side is real and load-bearing at 100 TB:
+
+- typed schema: ``payload:binary`` + ``media_type/width/height/...``
+  metadata columns (metadata travels through shuffles; payloads are
+  column-pruned away unless a stage actually decodes)
+- Arrow-batched ``mapInPandas`` plumbing with bounded batch sizes
+  (binary payloads make ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  the real memory knob — documented here, set in session.py)
+- deterministic fake "feature extraction" so dedup-over-media
+  (signature → LSH → CC, the same pipeline as text) is testable end
+  to end without codecs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode requires cv2/PIL — not in this container.
+
+    STUB: raises. Production swaps this one function for a cv2 call;
+    the Spark plumbing around it does not change.
+    """
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "swap in cv2.imdecode / PIL.Image.open in production"
+    )
+
+
+def fake_feature(payload: bytes, dim: int = 32) -> np.ndarray:
+    """Deterministic stand-in feature: seeded by payload content hash.
+
+    Identical payloads ⇒ identical features (so exact-dup detection
+    over media is faithfully exercised); distinct payloads ⇒
+    pseudo-random unit vectors.
+    """
+    h = np.frombuffer(
+        np.uint64(hash(payload) & 0x7FFFFFFFFFFFFFFF).tobytes(), dtype=np.uint64
+    )
+    rng = np.random.default_rng(int(h[0]))
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 32, use_stub: bool = True
+) -> DataFrame:
+    """payload → feature vector, Arrow-batched.
+
+    The real path calls :func:`decode_image` then a model; the test
+    path uses :func:`fake_feature`.  Batch shape, schema, and
+    partitioning are identical either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                elif use_stub:
+                    feats.append(fake_feature(bytes(payload), dim))
+                else:
+                    feats.append(decode_image(bytes(payload)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def synthesize_media(spark, n: int, seed: int = 42, dup_every: int = 5) -> DataFrame:
+    """Deterministic fake media table; every `dup_every`-th row is a
+    byte-identical copy of the previous row (planted exact dups)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                src = i - 1 if (i % dup_every == 0 and i > 0) else i
+                rng = np.random.default_rng(seed * 1000 + src)
+                payload = rng.bytes(64)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "media_type": ["image", "audio", "video"][i % 3],
+                        "payload": payload,
+                        "width": 64 + (src % 8) * 16,
+                        "height": 64 + (src % 5) * 16,
+                        "duration_ms": None if i % 3 == 0 else 1000 + src % 9000,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(gen, MEDIA_SCHEMA)

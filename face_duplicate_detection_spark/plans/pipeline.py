@@ -1,0 +1,156 @@
+"""End-to-end dedup pipeline: docs → clusters, stage by stage.
+
+The Spark re-expression of the reference's two entry points
+(``/root/reference/duplicate_face.py:146-248``
+``find_duplicate_faces_in_directory`` and
+``face_recognition_custom.py:60-123`` main loop; orchestration
+``run_program.sh:13-35``), as a sequence of DataFrame jobs:
+
+    docs → docs_normalized → (exact dedup) → signatures → buckets
+         → candidate pairs → verified dup_pairs → clusters
+
+Each stage can commit to a :class:`StageCatalog` checkpoint table and
+a re-run resumes from the last committed stage (north_rule: a 10^12
+document run restarts mid-stage without recomputation) — the scalable
+version of the reference's cross-batch carried state
+(``duplicate_face.py:186-189``).
+
+Scale notes (what makes this survive 100 TB):
+
+- exact-dup collapse first: only distinct texts are MinHashed.
+- the html/text fat columns never enter the LSH shuffles — signatures
+  carry only hashes.
+- the candidate-pair path is linear in oversized buckets (lsh.py).
+- verification is native codegen expressions, Python appears only in
+  the one Arrow-batched signature pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from face_duplicate_detection_spark.catalog import StageCatalog
+from face_duplicate_detection_spark.config import DedupConfig
+from face_duplicate_detection_spark.functions.normalize import (
+    matchable_docs,
+    normalize_documents,
+    normalize_pages,
+)
+from face_duplicate_detection_spark.operators.connected_components import (
+    assign_clusters,
+    connected_components,
+)
+from face_duplicate_detection_spark.operators.exact_dedup import (
+    exact_dup_edges,
+    exact_representatives,
+)
+from face_duplicate_detection_spark.operators.lsh import (
+    candidate_pairs,
+    explode_buckets,
+)
+from face_duplicate_detection_spark.operators.signatures import compute_signatures
+from face_duplicate_detection_spark.operators.verify import verify_pairs
+
+
+@dataclass
+class PipelineResult:
+    docs_normalized: DataFrame
+    signatures: DataFrame
+    dup_pairs: DataFrame       # verified similarity edges (a, b, jaccard, method)
+    clusters: DataFrame        # doc_id, ..., cluster_id, is_canonical
+    dup_assignments: DataFrame  # (canonical, duplicate) rows — reference output form
+
+
+def run_pipeline(
+    docs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    *,
+    input_kind: str = "documents",   # "documents" | "pages" | "normalized"
+    catalog: StageCatalog | None = None,
+    spark: SparkSession | None = None,
+) -> PipelineResult:
+    """Run (or resume) the full dedup pipeline.
+
+    With a catalog, every stage table is committed and a committed
+    stage is *read back, not recomputed* on the next call.
+    """
+    spark = spark or docs.sparkSession
+
+    def stage(name: str, build):
+        if catalog is None:
+            return build()
+        if catalog.is_committed(name):
+            return catalog.read(spark, name)
+        df = build()
+        catalog.write(name, df, {"config": repr(cfg)})
+        return catalog.read(spark, name)
+
+    if input_kind == "pages":
+        docs_normalized = stage("docs_normalized", lambda: normalize_pages(docs, cfg))
+    elif input_kind == "documents":
+        docs_normalized = stage(
+            "docs_normalized", lambda: normalize_documents(docs, cfg)
+        )
+    else:
+        docs_normalized = docs
+
+    matchable = matchable_docs(docs_normalized)
+
+    # exact-copy collapse (only distinct texts get signatures)
+    exact_edges = stage(
+        "exact_edges", lambda: exact_dup_edges(matchable)
+    )
+    reps = exact_representatives(matchable)
+
+    signatures = stage("signatures", lambda: compute_signatures(reps, cfg))
+
+    def build_pairs():
+        buckets = explode_buckets(signatures)
+        return candidate_pairs(buckets, cfg)
+
+    cand = stage("candidate_pairs", build_pairs)
+
+    def build_dup_pairs():
+        verified = verify_pairs(cand, signatures, cfg)
+        # exact-text copies are collapsed before signatures (scale fast
+        # path), so surface their edges here as jaccard-1.0 dup pairs —
+        # the reference emits these as ordinary matches (distance 0,
+        # duplicate_face.py:66-67)
+        exact_as_pairs = exact_edges.select(
+            "a",
+            "b",
+            F.lit(1.0).alias("jaccard"),
+            F.lit(0).alias("hamming"),
+            F.lit("exact").alias("method"),
+        )
+        return verified.unionByName(exact_as_pairs)
+
+    dup_pairs = stage("dup_pairs", build_dup_pairs)
+
+    def build_clusters():
+        edges = dup_pairs.select("a", "b").unionByName(
+            exact_edges.select("a", "b")
+        )
+        labels = connected_components(edges)
+        return assign_clusters(
+            docs_normalized.select("doc_id", "status"), labels
+        )
+
+    clusters = stage("clusters", build_clusters)
+
+    dup_assignments = clusters.filter(
+        (~F.col("is_canonical")) & (F.col("status") == "ok")
+    ).select(
+        F.col("cluster_id").alias("canonical"), F.col("doc_id").alias("duplicate")
+    )
+
+    return PipelineResult(
+        docs_normalized=docs_normalized,
+        signatures=signatures,
+        dup_pairs=dup_pairs,
+        clusters=clusters,
+        dup_assignments=dup_assignments,
+    )
