@@ -115,4 +115,6 @@ def test_window_hashes_shared_span():
     span = "the shared exact duplicated span of text that is long enough " * 3
     w1 = window_hashes(filler1 + span + filler1, 64)
     w2 = window_hashes(filler2 + span + filler2, 64)
-    assert np.intersect1d(w1, w2).size >= len(span) - 64
+    # all windows fully inside the span are shared; the span repeats a
+    # 62-char phrase, so distinct shared windows ≈ the period length
+    assert np.intersect1d(w1, w2).size >= 40
