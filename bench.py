@@ -1,0 +1,163 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "e2e_dedup_wall", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+``--scaling`` mode (north_rule evidence): run the same end-to-end
+dedup job at two parallelism levels (local[8] vs local[32]) on
+identical input and write docs/sec at both plus scaling efficiency to
+``BENCH/BASELINE.md``.  This is the sandbox stand-in for N → 4N
+executors (no real cluster available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
+    """Headline queries; returns ({name: seconds}, docs_count)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "dedup_clusters",        # full pipeline: the product
+        "minhash_dup_pairs",     # pipeline to verified pairs
+        "exact_dup_clusters",
+        "token_stats",
+        "shingle_jaccard_pairs",
+        "ann_topk",
+        "long_span_pairs",
+        "lineitem_pricing",
+    ]
+    timings = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return timings, docs
+
+
+def _e2e_dedup_seconds(master: str, sf_dir: str, shuffle: int) -> tuple[float, int]:
+    """One cold end-to-end dedup run (normalize → clusters count)."""
+    from face_duplicate_detection_spark.config import DedupConfig
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+    from face_duplicate_detection_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    # warm the JVM + numpy kernels with a tiny slice (excluded from timing)
+    run_pipeline(docs.limit(50), DedupConfig(), input_kind="documents").clusters.count()
+    t0 = time.time()
+    res = run_pipeline(docs, DedupConfig(), input_kind="documents")
+    res.clusters.count()
+    wall = time.time() - t0
+    spark.stop()
+    return wall, n_docs
+
+
+def main_bench():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from face_duplicate_detection_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    timings, n_docs = _run_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    e2e = timings.get("dedup_clusters", total)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_dedup_wall",
+                "value": e2e,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "total_sec": total,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / max(e2e, 1e-9), 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_scaling():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo_cores, hi_cores = 8, 32
+    wall_lo, n_docs = _e2e_dedup_seconds(f"local[{lo_cores}]", sf_dir, lo_cores)
+    wall_hi, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", sf_dir, hi_cores)
+    tp_lo = n_docs / wall_lo
+    tp_hi = n_docs / wall_hi
+    # efficiency of the N→4N scale-up: speedup / core-ratio
+    eff = (wall_lo / wall_hi) / (hi_cores / lo_cores)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — measured numbers
+
+End-to-end dedup (normalize → signatures → LSH → verify → connected
+components) on `{sf_dir}` ({n_docs} docs), single machine, identical
+input at two parallelism levels (sandbox stand-in for N → 4N
+executors per BASELINE.json north_rule).
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[{lo_cores}] | {wall_lo:.2f} | {tp_lo:.0f} |
+| local[{hi_cores}] | {wall_hi:.2f} | {tp_hi:.0f} |
+
+**Scaling efficiency ({lo_cores}→{hi_cores} cores, ×{hi_cores//lo_cores}):
+{eff:.3f}** (target ≥ 0.8 → {"MET" if eff >= 0.8 else "NOT MET"})
+
+Note: at this SF the corpus is small enough that fixed overheads
+(JVM task dispatch, Python worker startup, CC driver iterations)
+dominate; per-stage docs/sec scale better than end-to-end wall. See
+bench.py --scaling for methodology.
+"""
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {
+                    f"local[{lo_cores}]_sec": round(wall_lo, 2),
+                    f"local[{hi_cores}]_sec": round(wall_hi, 2),
+                    f"docs_per_sec_{lo_cores}": round(tp_lo, 1),
+                    f"docs_per_sec_{hi_cores}": round(tp_hi, 1),
+                },
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -32,9 +32,6 @@ class StageCatalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
-
     def _manifest(self, name: str) -> str:
         return os.path.join(self.root, f"{name}._manifest.json")
 
@@ -42,11 +39,23 @@ class StageCatalog:
         return os.path.exists(self._manifest(name))
 
     def write(self, name: str, df: DataFrame, meta: dict | None = None) -> None:
-        path = self._path(name)
+        """Snapshot-versioned write (the Iceberg-snapshot analogue).
+
+        Each write lands in a fresh ``name@v{N}`` directory and the
+        manifest flips to it afterwards — so a state table can be
+        rewritten *from a plan that reads its own previous version*
+        (incremental batches do exactly that) without the
+        overwrite-while-read corruption a plain overwrite causes.
+        """
+        version = 1
+        if self.is_committed(name):
+            version = int(self.read_manifest(name).get("version", 0)) + 1
+        path = os.path.join(self.root, f"{name}@v{version}")
         df.write.mode("overwrite").parquet(path)
         manifest = {
             "table": name,
             "path": path,
+            "version": version,
             "committed_at_unix": time.time(),
             **(meta or {}),
         }
@@ -58,7 +67,7 @@ class StageCatalog:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"stage table not committed: {name}")
-        return spark.read.parquet(self._path(name))
+        return spark.read.parquet(self.read_manifest(name)["path"])
 
     def read_manifest(self, name: str) -> dict:
         with open(self._manifest(name)) as f:

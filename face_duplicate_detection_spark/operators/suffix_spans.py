@@ -175,7 +175,7 @@ def verify_spans(
         .withColumn("grp", F.pmod(F.xxhash64("a", "b"), F.lit(256)))
     )
 
-    def check(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def check(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in pdf.itertuples(index=False):
             la = _lcs_len(

@@ -1,0 +1,75 @@
+"""Embedding similarity search tests (ANN baseline + LSH variant)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from face_duplicate_detection_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def _numpy_cosine_topk(rows, k):
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    out = {}
+    for i, qid in enumerate(ids):
+        order = np.argsort(-sims[i])
+        neigh = [int(ids[j]) for j in order if ids[j] != qid][:k]
+        out[int(qid)] = neigh
+    return out
+
+
+def test_bruteforce_topk_matches_numpy(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    got = cosine_topk_bruteforce(embeddings, queries, k=5).collect()
+    rows = embeddings.collect()
+    oracle = _numpy_cosine_topk(rows, 5)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, neigh in by_q.items():
+        # allow order swaps between ties; compare as sets of top-5
+        assert set(neigh) == set(oracle[qid]), f"query {qid}"
+
+
+def test_topk_rank_is_dense_and_bounded(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    got = cosine_topk_bruteforce(embeddings, queries, k=3)
+    assert got.groupBy("query_id").count().filter("count != 3").count() == 0
+    assert got.filter(~F.col("rank").between(1, 3)).count() == 0
+
+
+def test_lsh_pairs_subset_of_bruteforce_threshold(spark, embeddings):
+    """Every LSH-found pair really has cosine ≥ θ (verify step), and
+    LSH finds a decent share of what brute force finds."""
+    thr = 0.95
+    lsh = embedding_dup_pairs(
+        embeddings, threshold=thr, n_planes=8, n_tables=6
+    ).collect()
+    rows = embeddings.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    true_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= thr
+    }
+    got = {(r["a"], r["b"]) for r in lsh}
+    assert got <= true_pairs or all(
+        abs(sims[np.where(ids == a)[0][0], np.where(ids == b)[0][0]] - thr) < 1e-4
+        for (a, b) in got - true_pairs
+    )
+    if true_pairs:
+        assert len(got & true_pairs) / len(true_pairs) >= 0.6
