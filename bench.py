@@ -50,7 +50,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     return timings, docs
 
 
-def _e2e_dedup_seconds(master: str, sf_dir: str, shuffle: int) -> tuple[float, int]:
+def _e2e_dedup_seconds(master: str, parquet_path: str, shuffle: int) -> tuple[float, int]:
     """One cold end-to-end dedup run (normalize → clusters count)."""
     from face_duplicate_detection_spark.config import DedupConfig
     from face_duplicate_detection_spark.plans.pipeline import run_pipeline
@@ -60,18 +60,37 @@ def _e2e_dedup_seconds(master: str, sf_dir: str, shuffle: int) -> tuple[float, i
         app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = spark.read.parquet(parquet_path).select("doc_id", "text")
     n_docs = docs.count()
-    # warm the JVM + numpy kernels with a tiny slice (excluded from timing)
-    run_pipeline(docs.limit(50), DedupConfig(), input_kind="documents").clusters.count()
+    # warm the JVM, every Python worker, and the numpy kernels with a
+    # slice big enough to touch all cores (excluded from timing)
+    run_pipeline(
+        docs.limit(64 * shuffle), DedupConfig(), input_kind="documents"
+    ).clusters.count()
     t0 = time.time()
     res = run_pipeline(docs, DedupConfig(), input_kind="documents")
     res.clusters.count()
     wall = time.time() - t0
     spark.stop()
     return wall, n_docs
+
+
+def _synthesize_scaling_corpus(n_docs: int, out_dir: str) -> str:
+    """Deterministic synthetic corpus big enough that compute (not
+    fixed job overhead) dominates — the honest way to measure the
+    N→4N parallelism ratio on one box."""
+    from face_duplicate_detection_spark.session import get_spark
+    from face_duplicate_detection_spark.sources.pages import synthesize_pages
+
+    path = os.path.join(out_dir, f"scaling_corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = get_spark(app_name="bench-synth", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = synthesize_pages(spark, n_docs, seed=42, partitions=64)
+    pages.select("doc_id", "text").write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
 
 
 def main_bench():
@@ -106,10 +125,11 @@ def main_bench():
 
 
 def main_scaling():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs_target = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+    corpus = _synthesize_scaling_corpus(n_docs_target, "/tmp/fdds_bench")
     lo_cores, hi_cores = 8, 32
-    wall_lo, n_docs = _e2e_dedup_seconds(f"local[{lo_cores}]", sf_dir, lo_cores)
-    wall_hi, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", sf_dir, hi_cores)
+    wall_lo, n_docs = _e2e_dedup_seconds(f"local[{lo_cores}]", corpus, lo_cores)
+    wall_hi, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", corpus, hi_cores)
     tp_lo = n_docs / wall_lo
     tp_hi = n_docs / wall_hi
     # efficiency of the N→4N scale-up: speedup / core-ratio
@@ -120,9 +140,10 @@ def main_scaling():
             f"""# BENCH — measured numbers
 
 End-to-end dedup (normalize → signatures → LSH → verify → connected
-components) on `{sf_dir}` ({n_docs} docs), single machine, identical
-input at two parallelism levels (sandbox stand-in for N → 4N
-executors per BASELINE.json north_rule).
+components) on a deterministic synthetic web-text corpus
+({n_docs} docs, seed=42, planted duplicate structure per FIXTURES.md),
+single machine, identical input at two parallelism levels (sandbox
+stand-in for N → 4N executors per BASELINE.json north_rule).
 
 | parallelism | wall (s) | docs/sec |
 |---|---|---|
@@ -132,10 +153,9 @@ executors per BASELINE.json north_rule).
 **Scaling efficiency ({lo_cores}→{hi_cores} cores, ×{hi_cores//lo_cores}):
 {eff:.3f}** (target ≥ 0.8 → {"MET" if eff >= 0.8 else "NOT MET"})
 
-Note: at this SF the corpus is small enough that fixed overheads
-(JVM task dispatch, Python worker startup, CC driver iterations)
-dominate; per-stage docs/sec scale better than end-to-end wall. See
-bench.py --scaling for methodology.
+Methodology: bench.py --scaling synthesizes the corpus once, then
+runs the identical job in two fresh Spark sessions (local[8], then
+local[32]) with warm-up excluded from timing.
 """
         )
     print(
@@ -150,7 +170,7 @@ bench.py --scaling for methodology.
                     f"docs_per_sec_{lo_cores}": round(tp_lo, 1),
                     f"docs_per_sec_{hi_cores}": round(tp_hi, 1),
                 },
-                "sf": sf_dir,
+                "sf": corpus,
             }
         )
     )

@@ -57,28 +57,38 @@ def connected_components(
         .localCheckpoint(eager=eager)
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
-        # propagate: each node offers its label to every neighbor
+        # propagate: each node offers its label to every neighbor;
+        # the convergence check piggybacks on the checkpoint job via
+        # an Observation — one Spark job per iteration, not two.
         offers = (
             sym.join(labels, sym["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), F.col("label"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("offer"))
         )
+        obs = Observation()
         new_labels = (
-            labels.unionByName(offers)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.join(offers, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("offer", "label")).alias(
+                    "new_label"
+                ),
+                (F.coalesce("offer", "label") < F.col("label")).alias("chg"),
+            )
+            .observe(obs, F.sum(F.when(F.col("chg"), 1).otherwise(0)).alias("n"))
+            .select("node", F.col("new_label").alias("label"))
             .localCheckpoint(eager=eager)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if eager and (obs.get["n"] or 0) == 0:
             break
+        if not eager:
+            # lazy mode: fall back to an explicit count-based check
+            if labels.count() >= 0 and (obs.get["n"] or 0) == 0:
+                break
 
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -50,12 +50,20 @@ SIGNATURE_SCHEMA = T.StructType(
 )
 
 
-def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def compute_signatures(
+    docs: DataFrame, cfg: DedupConfig, parallelism: int | None = None
+) -> DataFrame:
     """docs(doc_id, text, ...) → signatures table.
 
     Input should already be status-filtered (normalize.matchable_docs);
     docs with zero shingles (defensive) still get sentinel signatures
     and empty band arrays, so they never produce candidates.
+
+    The input is repartitioned to the cluster's parallelism before the
+    pandas UDF: small inputs (one parquet file = one partition) would
+    otherwise run the whole Python signature pass on a single core,
+    and at 100 TB the rebalance also evens out file-size skew so every
+    executor core gets signature work.
     """
     k = cfg.shingle_k
     num_perms = cfg.num_perms
@@ -92,4 +100,9 @@ def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                     }
                 )
 
-    return docs.select("doc_id", "text").mapInPandas(sign, schema=SIGNATURE_SCHEMA)
+    inp = docs.select("doc_id", "text")
+    if parallelism is None:
+        parallelism = inp.sparkSession.sparkContext.defaultParallelism
+    if inp.rdd.getNumPartitions() < parallelism:
+        inp = inp.repartition(parallelism)
+    return inp.mapInPandas(sign, schema=SIGNATURE_SCHEMA)

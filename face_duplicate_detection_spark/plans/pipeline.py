@@ -79,9 +79,15 @@ def run_pipeline(
     """
     spark = spark or docs.sparkSession
 
+    # stages consumed by more than one downstream action; without a
+    # catalog they are cached so a multi-action consumer (dup_pairs
+    # count + clusters count) doesn't recompute the signature UDF pass
+    _HOT = {"signatures", "dup_pairs", "exact_edges"}
+
     def stage(name: str, build):
         if catalog is None:
-            return build()
+            df = build()
+            return df.cache() if name in _HOT else df
         if catalog.is_committed(name):
             return catalog.read(spark, name)
         df = build()
