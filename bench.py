@@ -125,11 +125,19 @@ def main_bench():
 
 
 def main_scaling():
-    n_docs_target = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+    n_docs_target = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     corpus = _synthesize_scaling_corpus(n_docs_target, "/tmp/fdds_bench")
     lo_cores, hi_cores = 8, 32
-    wall_lo, n_docs = _e2e_dedup_seconds(f"local[{lo_cores}]", corpus, lo_cores)
-    wall_hi, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", corpus, hi_cores)
+    # best-of-N: the sandbox host shows heavy CPU steal; min wall is
+    # the least contaminated estimate of the job's true cost
+    walls_lo, walls_hi = [], []
+    for _ in range(repeats):
+        w, n_docs = _e2e_dedup_seconds(f"local[{lo_cores}]", corpus, lo_cores)
+        walls_lo.append(w)
+        w, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", corpus, hi_cores)
+        walls_hi.append(w)
+    wall_lo, wall_hi = min(walls_lo), min(walls_hi)
     tp_lo = n_docs / wall_lo
     tp_hi = n_docs / wall_hi
     # efficiency of the N→4N scale-up: speedup / core-ratio

@@ -43,6 +43,12 @@ class DedupConfig:
 
     # --- verification (J2/J3) ---
     jaccard_threshold: float = 0.8  # exact shingle-set Jaccard ≥ θ ⇒ duplicate
+    # candidate pre-filter: require ≥ this many band collisions before
+    # the (expensive) exact-Jaccard join.  At θ=0.8, P(band)=θ⁴≈0.41,
+    # so a true pair misses n_bands≥2 w.p. P(X≤1|X≥1), X~B(32,0.41)
+    # ≈ 1e-6 — recall is untouched while ~80% of low-similarity
+    # boilerplate candidates never reach the shingle shuffle.
+    min_band_collisions: int = 2
 
     # --- skew handling (north_rule: salted-key mitigation) ---
     bucket_cap: int = 64            # buckets larger than this use chain pairing

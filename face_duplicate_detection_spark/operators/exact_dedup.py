@@ -46,9 +46,15 @@ def exact_dup_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def exact_representatives(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text: the min-doc_id representative.
 
-    groupBy(text_hash) → min(doc_id), then semi-join back — avoids
-    carrying the text column through the aggregation shuffle twice.
+    Single window pass (one shuffle of the text column) instead of
+    groupBy + semi-join (which would shuffle the text twice).
     """
+    from pyspark.sql.window import Window
+
     hashed = with_text_hash(docs)
-    reps = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
-    return hashed.join(reps, ["text_hash", id_col], "left_semi").drop("text_hash")
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text_hash")
+    )

