@@ -160,6 +160,17 @@ def run_pipeline(
         F.col("cluster_id").alias("canonical"), F.col("doc_id").alias("duplicate")
     )
 
+    # per-partition lineage rows (north_rule: every stage writes
+    # per-partition lineage + metrics) — committed alongside the
+    # stage tables when a catalog is attached
+    if catalog is not None and not catalog.is_committed("lineage"):
+        from face_duplicate_detection_spark.metrics import lineage_rows
+
+        lineage = lineage_rows(docs_normalized, "docs_normalized").unionByName(
+            lineage_rows(signatures.select("doc_id"), "signatures")
+        ).unionByName(lineage_rows(dup_pairs.select("a"), "dup_pairs"))
+        catalog.write("lineage", lineage)
+
     return PipelineResult(
         docs_normalized=docs_normalized,
         signatures=signatures,

@@ -1,0 +1,76 @@
+"""Incremental (cross-batch carried state) semantics: processing the
+corpus in two batches must produce the same clusters as one full run —
+the reference's core stateful property (duplicate_face.py:164-198,
+state threaded at 186-189; SURVEY.md §2.10 B2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from face_duplicate_detection_spark.catalog import StageCatalog
+from face_duplicate_detection_spark.functions.normalize import (
+    matchable_docs,
+    normalize_pages,
+)
+from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+from face_duplicate_detection_spark.streaming.incremental import incremental_batch
+
+
+def _cluster_sets(rows):
+    """Canonical-id-independent comparison: the *partition* of docs."""
+    by_cluster = {}
+    for doc_id, cluster_id in rows:
+        by_cluster.setdefault(cluster_id, set()).add(doc_id)
+    return {frozenset(v) for v in by_cluster.values()}
+
+
+def test_two_batches_equal_full_run(spark, cfg, pages_500, tmp_path_factory):
+    norm = matchable_docs(normalize_pages(pages_500, cfg)).select("doc_id", "text")
+
+    cat = StageCatalog(str(tmp_path_factory.mktemp("incr")))
+    b1 = norm.filter(F.col("doc_id") < 250)
+    b2 = norm.filter(F.col("doc_id") >= 250)
+    incremental_batch(b1, cfg, cat, spark)
+    final = incremental_batch(b2, cfg, cat, spark)
+    incr = _cluster_sets(
+        (r["doc_id"], r["cluster_id"])
+        for r in final.select("doc_id", "cluster_id").collect()
+    )
+
+    full = run_pipeline(pages_500, cfg, input_kind="pages")
+    full_ok = full.clusters.filter("status = 'ok'")
+    full_sets = _cluster_sets(
+        (r["doc_id"], r["cluster_id"])
+        for r in full_ok.select("doc_id", "cluster_id").collect()
+    )
+    # incremental state covers exact-text members too? incremental_batch
+    # signs every doc (no exact collapse), so compare on common doc ids
+    incr_docs = {d for s in incr for d in s}
+    full_docs = {d for s in full_sets for d in s}
+    assert incr_docs == full_docs
+    # partitions must agree on >= 99% of clusters (LSH randomness is
+    # seeded identically, so in practice they are equal)
+    agree = len(incr & full_sets)
+    assert agree / len(full_sets) >= 0.99, (
+        f"only {agree}/{len(full_sets)} clusters agree"
+    )
+
+
+def test_second_batch_matches_first_batch_state(spark, cfg, pages_500, tmp_path_factory):
+    """A doc in batch 2 that duplicates a batch-1 doc must join the
+    batch-1 cluster (the reference's known-representatives semantics,
+    duplicate_face.py:58-81)."""
+    norm = matchable_docs(normalize_pages(pages_500, cfg)).select("doc_id", "text")
+    cat = StageCatalog(str(tmp_path_factory.mktemp("incr2")))
+    # batch 1: the decade bases; batch 2: their exact copies (cls 6)
+    b1 = norm.filter(F.col("doc_id") % 10 == 0)
+    b2 = norm.filter(F.col("doc_id") % 10 == 6)
+    incremental_batch(b1, cfg, cat, spark)
+    final = incremental_batch(b2, cfg, cat, spark)
+    cl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in final.select("doc_id", "cluster_id").collect()
+    }
+    merged = sum(
+        1 for d in range(0, 500, 10) if d + 6 in cl and cl[d + 6] == cl.get(d)
+    )
+    assert merged >= 49  # 50 planted exact copies
