@@ -59,6 +59,12 @@ class DedupConfig:
     # regardless, so a small cap trades little for linear cost.
     bucket_cap: int = 16
     chain_window: int = 2           # oversized bucket: pair doc with next W ids
+    # mega buckets (pathological boilerplate at 10^12-doc scale) are
+    # salted into bounded subgroups before any collect_list so no
+    # executor ever aggregates an unbounded group; subgroup minima are
+    # bridged so the bucket stays one connected component
+    mega_bucket_cap: int = 4096
+    salt_buckets: int = 64
 
     # --- quality / status tagging (P2/P3/P4) ---
     min_text_chars: int = 16

@@ -52,42 +52,74 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     small buckets, chain_window for oversized ones.  A second (cheap,
     map-side-combined) groupBy dedups pairs proposed by several bands.
 
-    Memory note for 10^12-doc runs: a pathological mega-bucket (every
-    page sharing one boilerplate band) makes one collect_list group
-    large.  The bucket key space is (band, band_hash) — 32 × 2^64 — so
-    such a group means millions of *byte-identical band signatures*;
-    the exact-dedup collapse upstream removes byte-identical texts, so
-    observed mega-buckets are bounded (worst seen at 200k synthetic
-    docs with 20% shared boilerplate: 1,836 members ≈ 15 KB).  If a
-    deployment still hits an unbounded one, salt the groupBy key with
-    pmod(xxhash64(doc_id, band), S) and bridge subgroups via their
-    minima — same chain-connectivity argument, bounded groups.
+    **Mega buckets** (north_rule salted-key skew mitigation): a
+    pathological boilerplate bucket at 10^12-doc scale could make one
+    collect_list group unbounded.  Buckets above ``mega_bucket_cap``
+    (found with a cheap keys-only count, the key set broadcast) are
+    salted into ``salt_buckets`` subgroups keyed by
+    ``pmod(xxhash64(doc_id, band_hash), S)`` — bounding every
+    aggregated group — chained within each subgroup, and the subgroup
+    minima are bridged pairwise so the bucket remains one connected
+    component for CC.  True near-dup pairs lose nothing: they collide
+    in ~23/32 bands and the salt varies per band hash.
     """
-    lists = (
-        buckets.groupBy("band", "band_hash")
+
+    def pairs_from_members(lists: DataFrame, cap: int, window: int) -> DataFrame:
+        m = F.size(F.col("members"))
+        width = F.when(m <= cap, m).otherwise(F.lit(window))
+        return lists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "members",
+                                i + F.lit(2),
+                                F.greatest(F.least(width, m - i - 1), F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+
+    sizes = buckets.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
+    mega_keys = F.broadcast(
+        sizes.filter(F.col("bsz") > cfg.mega_bucket_cap).select("band", "band_hash")
+    )
+
+    normal = buckets.join(mega_keys, ["band", "band_hash"], "left_anti")
+    normal_lists = (
+        normal.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
         .filter(F.size("members") >= 2)
     )
-    m = F.size(F.col("members"))
-    width = F.when(m <= cfg.bucket_cap, m).otherwise(F.lit(cfg.chain_window))
-    pairs = lists.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "members",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            "members",
-                            i + F.lit(2),
-                            F.greatest(
-                                F.least(width, m - i - 1), F.lit(0)
-                            ),
-                        ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+    pairs = pairs_from_members(normal_lists, cfg.bucket_cap, cfg.chain_window)
 
-    return pairs.groupBy("a", "b").agg(F.count("*").alias("n_bands"))
+    mega = buckets.join(mega_keys, ["band", "band_hash"], "left_semi")
+    salted = mega.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id", "band_hash"), F.lit(cfg.salt_buckets))
+    )
+    sub_lists = (
+        salted.groupBy("band", "band_hash", "salt")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+    )
+    # chain within every (bounded) subgroup; cap=0 forces chain mode
+    mega_chain = pairs_from_members(
+        sub_lists.filter(F.size("members") >= 2), 0, cfg.chain_window
+    )
+    # bridge: all pairs among the ≤ S subgroup minima per bucket
+    bridges = (
+        sub_lists.select(
+            "band", "band_hash", F.element_at("members", 1).alias("m0")
+        )
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("m0")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    mega_bridge = pairs_from_members(bridges, cfg.salt_buckets, cfg.chain_window)
+
+    all_pairs = pairs.unionByName(mega_chain).unionByName(mega_bridge)
+    return all_pairs.groupBy("a", "b").agg(F.count("*").alias("n_bands"))

@@ -1,0 +1,78 @@
+"""LSH candidate-generation unit tests, including the salted
+mega-bucket path (north_rule salted-key skew mitigation)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from face_duplicate_detection_spark.config import DedupConfig
+from face_duplicate_detection_spark.operators.lsh import candidate_pairs
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+
+def _buckets(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _pairs(df):
+    return {(r["a"], r["b"]) for r in df.select("a", "b").collect()}
+
+
+def test_small_bucket_all_pairs(spark):
+    b = _buckets(spark, [(0, 100, d) for d in [3, 1, 2]])
+    got = _pairs(candidate_pairs(b, DedupConfig()))
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_pairs_deduped_across_bands_with_count(spark):
+    rows = [(0, 100, 1), (0, 100, 2), (1, 200, 1), (1, 200, 2)]
+    out = candidate_pairs(_buckets(spark, rows), DedupConfig()).collect()
+    assert len(out) == 1
+    assert out[0]["a"] == 1 and out[0]["b"] == 2 and out[0]["n_bands"] == 2
+
+
+def test_oversized_bucket_chain_linear(spark):
+    cfg = DedupConfig().with_(bucket_cap=4, chain_window=2)
+    b = _buckets(spark, [(0, 100, d) for d in range(10)])
+    got = _pairs(candidate_pairs(b, cfg))
+    # chain: each doc pairs with next 2 ids — 9 + 8 = 17 pairs
+    assert len(got) == 17
+    assert (0, 1) in got and (0, 2) in got and (0, 3) not in got
+    # connectivity: consecutive ids always linked
+    assert all((d, d + 1) in got for d in range(9))
+
+
+def test_mega_bucket_salted_but_connected(spark):
+    cfg = DedupConfig().with_(
+        bucket_cap=4, chain_window=2, mega_bucket_cap=50, salt_buckets=8
+    )
+    n = 200
+    b = _buckets(spark, [(0, 100, d) for d in range(n)])
+    pairs = _pairs(candidate_pairs(b, cfg))
+    # linear-ish volume, nowhere near n^2/2 = 19900
+    assert len(pairs) < n * (cfg.chain_window + 2)
+    # the bucket must stay one connected component (union-find check)
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, bb in pairs:
+        parent[find(a)] = find(bb)
+    roots = {find(d) for d in range(n)}
+    assert len(roots) == 1, f"mega bucket split into {len(roots)} components"
+
+
+def test_mega_path_does_not_change_small_buckets(spark):
+    rows = [(0, 100, d) for d in [5, 6, 7]] + [(1, 999, d) for d in range(100)]
+    cfg = DedupConfig().with_(mega_bucket_cap=50, salt_buckets=4)
+    got = _pairs(candidate_pairs(_buckets(spark, rows), cfg))
+    assert {(5, 6), (5, 7), (6, 7)} <= got
