@@ -66,8 +66,11 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     c = np.frombuffer(data, dtype=np.uint8).astype(_U64)
     if n <= k:
         pows = np.power(_SHINGLE_BASE, np.arange(n - 1, -1, -1, dtype=_U64))
-        h = _SHINGLE_OFFSET + (c * pows).sum(dtype=_U64)
-        return _mix64(np.array([h], dtype=_U64))
+        # array-shaped accumulation: scalar uint64 '+' emits overflow
+        # RuntimeWarnings even though wraparound is intended
+        h = np.array([_SHINGLE_OFFSET], dtype=_U64)
+        h += (c * pows).sum(dtype=_U64)
+        return _mix64(h)
     windows = np.lib.stride_tricks.sliding_window_view(c, k)
     pows = np.power(_SHINGLE_BASE, np.arange(k - 1, -1, -1, dtype=_U64))
     h = _SHINGLE_OFFSET + (windows * pows).sum(axis=1, dtype=_U64)
