@@ -46,6 +46,16 @@ def connected_components(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.repartition("src").localCheckpoint(eager=eager)
+    if eager:
+        # size the iteration shuffles to the actual edge count — dup
+        # graphs are usually tiny relative to the corpus, and 32-task
+        # jobs over a few thousand edges are pure scheduler overhead
+        n_edges = sym.count()
+        parts = max(1, min(
+            sym.sparkSession.sparkContext.defaultParallelism,
+            n_edges // 50_000 + 1,
+        ))
+        sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
 
     labels = (
         sym.groupBy("src")
