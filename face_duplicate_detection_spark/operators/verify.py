@@ -34,8 +34,14 @@ def verify_pairs(
     """
     if "n_bands" in pairs.columns and cfg.min_band_collisions > 1:
         # free pre-filter: n_bands is a MinHash similarity estimate the
-        # LSH stage already computed; see DedupConfig.min_band_collisions
-        pairs = pairs.filter(F.col("n_bands") >= cfg.min_band_collisions)
+        # LSH stage already computed; see DedupConfig.min_band_collisions.
+        # `forced` pairs (mega-bucket chain/bridge — proposed by one
+        # band by construction, ADVICE r1) bypass the filter and are
+        # decided by exact Jaccard alone.
+        keep = F.col("n_bands") >= cfg.min_band_collisions
+        if "forced" in pairs.columns:
+            keep = keep | F.col("forced")
+        pairs = pairs.filter(keep)
     # shuffle-prune: only candidate docs' (fat) shingle arrays enter
     # the pair joins.  No broadcast hint — AQE converts the semi-join
     # to broadcast at runtime when the id set is small (always, at

@@ -68,7 +68,7 @@ def incremental_batch(
         .withColumnRenamed("nid", "a_new")
         .join(F.broadcast(new_ids), cand["b"] == F.col("nid"), "left")
         .filter(F.col("a_new").isNotNull() | F.col("nid").isNotNull())
-        .select("a", "b", "n_bands")
+        .select("a", "b", "n_bands", "forced")
     )
 
     new_edges = verify_pairs(cand_new, all_sigs, cfg).select("a", "b")

@@ -71,6 +71,39 @@ def test_mega_bucket_salted_but_connected(spark):
     assert len(roots) == 1, f"mega bucket split into {len(roots)} components"
 
 
+def test_mega_pairs_survive_band_collision_filter(spark):
+    """ADVICE r1 (medium): mega chain/bridge pairs are proposed by ~one
+    band (salt varies per band), so verify's min_band_collisions=2
+    pre-filter silently dropped them — including every bridge — and the
+    bucket's connectivity depended on chance.  Forced pairs must now
+    reach exact-Jaccard verification: N identical docs forming one mega
+    bucket must come out as ONE verified connected component."""
+    from face_duplicate_detection_spark.operators.connected_components import (
+        connected_components,
+    )
+    from face_duplicate_detection_spark.operators.lsh import explode_buckets
+    from face_duplicate_detection_spark.operators.signatures import (
+        compute_signatures,
+    )
+    from face_duplicate_detection_spark.operators.verify import verify_pairs
+
+    cfg = DedupConfig().with_(
+        bucket_cap=4, chain_window=2, mega_bucket_cap=50, salt_buckets=8,
+        min_band_collisions=2,
+    )
+    n = 120
+    text = "identical boilerplate page content repeated across the crawl " * 3
+    docs = spark.createDataFrame([(i, text) for i in range(n)], ["doc_id", "text"])
+    sigs = compute_signatures(docs, cfg).cache()
+    cand = candidate_pairs(explode_buckets(sigs), cfg)
+    verified = verify_pairs(cand, sigs, cfg)
+    labels = connected_components(verified.select("a", "b"))
+    clusters = {r["cluster_id"] for r in labels.collect()}
+    covered = {r["doc_id"] for r in labels.collect()}
+    assert covered == set(range(n)), "some docs never got a verified edge"
+    assert clusters == {0}, f"mega bucket fragmented: {sorted(clusters)[:5]}"
+
+
 def test_mega_path_does_not_change_small_buckets(spark):
     rows = [(0, 100, d) for d in [5, 6, 7]] + [(1, 999, d) for d in range(100)]
     cfg = DedupConfig().with_(mega_bucket_cap=50, salt_buckets=4)

@@ -1,4 +1,9 @@
-"""Long-span (suffix) stage tests (SURVEY.md §2.3 F4)."""
+"""Long-span (suffix) stage tests (SURVEY.md §2.3 F4).
+
+`_lcs_len` is the pure-Python suffix-automaton LCS — retired from the
+engine hot path (VERDICT r1 #5; the engine now detects spans natively
+from diagonal runs of positioned window hashes) and kept HERE as the
+exact verification oracle."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -6,9 +11,60 @@ from pyspark.sql import functions as F
 from face_duplicate_detection_spark.config import DedupConfig
 from face_duplicate_detection_spark.functions.normalize import normalize_pages
 from face_duplicate_detection_spark.operators.suffix_spans import (
-    _lcs_len,
     long_span_pairs,
 )
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Longest common substring length via suffix automaton of `a` —
+    O(|a| + |b|) time, O(|a|) states.  Test oracle only."""
+    if not a or not b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    last = 0
+    sa_len = [0]
+    sa_link = [-1]
+    sa_next: list[dict[str, int]] = [{}]
+    for ch in a:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        sa_next.append({})
+        p = last
+        while p >= 0 and ch not in sa_next[p]:
+            sa_next[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = sa_next[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                sa_next.append(dict(sa_next[q]))
+                while p >= 0 and sa_next[p].get(ch) == q:
+                    sa_next[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    v, l, best = 0, 0, 0
+    for ch in b:
+        while v and ch not in sa_next[v]:
+            v = sa_link[v]
+            l = sa_len[v]
+        if ch in sa_next[v]:
+            v = sa_next[v][ch]
+            l += 1
+        else:
+            v, l = 0, 0
+        if l > best:
+            best = l
+    return best
 
 
 def test_lcs_len_basic():
@@ -60,6 +116,26 @@ def test_span_len_reported_and_method(span_result):
     spans, _ = span_result
     assert spans.filter(F.col("span_len") < 200).count() == 0
     assert spans.filter(F.col("method") != "suffix").count() == 0
+
+
+def test_span_len_equals_automaton_lcs(span_result, cfg):
+    """The native diagonal-run span length must equal the exact
+    suffix-automaton LCS for every emitted pair (byte == char offsets
+    on this ASCII corpus)."""
+    from face_duplicate_detection_spark.functions.text_hashing import (
+        normalize_text,
+    )
+
+    spans, norm = span_result
+    rows = spans.collect()
+    assert len(rows) > 10
+    texts = {
+        r["doc_id"]: normalize_text(r["text"], cfg.lowercase, cfg.fold_whitespace)
+        for r in norm.select("doc_id", "text").collect()
+    }
+    for r in rows:
+        oracle = _lcs_len(texts[r["a"]], texts[r["b"]])
+        assert r["span_len"] == oracle, (r["a"], r["b"], r["span_len"], oracle)
 
 
 def test_winnowed_anchors_still_find_long_spans(spark, pages_500, cfg):
