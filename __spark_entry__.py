@@ -408,7 +408,14 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 
 def q_long_span_pairs(spark, sf_dir):
-    """Suffix stage: exact long-span (LCS ≥ 200) duplicate pairs."""
+    """Suffix stage: exact long-span (LCS ≥ 200) duplicate pairs.
+
+    Oracle-exact configuration: stride-1 anchors (winnow=False) and
+    caps high enough that candidate generation is complete all-pairs
+    per shared window — the result is then EXACTLY every matchable
+    doc pair whose longest common substring ≥ 200, which the DuckDB
+    twin recomputes from substrings.  The winnowed/chain-paired scale
+    path is covered separately by pytest recall tests."""
     from face_duplicate_detection_spark.functions.normalize import (
         matchable_docs,
         normalize_documents,
@@ -418,7 +425,10 @@ def q_long_span_pairs(spark, sf_dir):
     docs = matchable_docs(
         normalize_documents(_docs(spark, sf_dir).select("doc_id", "text"), CFG)
     )
-    return long_span_pairs(docs, CFG.with_(span_min_len=200), winnow=False)
+    cfg = CFG.with_(
+        span_min_len=200, bucket_cap=4096, mega_bucket_cap=1_000_000
+    )
+    return long_span_pairs(docs, cfg, winnow=False)
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
@@ -457,6 +467,38 @@ def q_media_features(spark, sf_dir):
 
     media = synthesize_media(spark, 200, seed=42)
     return feature_summary(extract_features(media))
+
+
+def q_duplicate_report(spark, sf_dir):
+    """S5 report: per-canonical duplicate counts + similarity stats
+    over the full verified pair set (exact ∪ minhash)."""
+    from face_duplicate_detection_spark.plans.outputs import duplicate_report
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = run_pipeline(docs, CFG, input_kind="documents")
+    return duplicate_report(res.dup_pairs)
+
+
+def q_consolidated_report(spark, sf_dir):
+    """S9 consolidated output: every doc with status, cluster and
+    disposition (unique/duplicate/status)."""
+    from face_duplicate_detection_spark.plans.outputs import consolidated_report
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = run_pipeline(docs, CFG, input_kind="documents")
+    return consolidated_report(res.clusters, res.docs_normalized)
+
+
+def q_summary_metrics(spark, sf_dir):
+    """A5/summary panel: one row of totals by status + dup counts."""
+    from face_duplicate_detection_spark.plans.outputs import summary_metrics
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = run_pipeline(docs, CFG, input_kind="documents")
+    return summary_metrics(res.clusters)
 
 
 def q_incremental_dedup(spark, sf_dir):
@@ -501,18 +543,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_user": q_events_by_user,
         "lineitem_pricing": q_lineitem_pricing,
         "ann_topk": q_ann_topk,
-        # rows-only (non-SQL-expressible: UDF signatures / iteration)
+        # flagship pipeline queries — full DuckDB twins (exhaustive
+        # shingle-Jaccard + WITH RECURSIVE transitive closure)
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "simhash_near_pairs": q_simhash_near_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "long_span_pairs": q_long_span_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "duplicate_report": q_duplicate_report,
+        "consolidated_report": q_consolidated_report,
+        "summary_metrics": q_summary_metrics,
+        # rows-only (no SQL twin: SimHash bit votes / stubbed decode
+        # are not SQL-expressible)
+        "simhash_near_pairs": q_simhash_near_pairs,
         "media_features": q_media_features,
-        "incremental_dedup": q_incremental_dedup,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+def _dedup_cte() -> str:
+    """Shared DuckDB CTE chain mirroring the flagship pipeline:
+
+    matchable (status ok) → exact-text clusters/edges → representative
+    docs → k-shingle sets → exact-Jaccard ≥ θ pairs among reps.
+
+    This is the SQL twin of normalize → exact_dedup → signatures →
+    LSH → verify: LSH recall at θ=0.8 with 32×4 banding is
+    1 − ~1e-6/pair, so the verified pair set equals the exhaustive
+    ≥ θ set (and the pytest brute-force oracle pins the same claim).
+    """
+    k = CFG.shingle_k
+    theta = CFG.jaccard_threshold
+    return f"""
+        matchable AS (
+          SELECT doc_id, text FROM documents WHERE ({_STATUS_SQL}) = 'ok'
+        ),
+        exact_c AS (
+          SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep
+          FROM matchable
+        ),
+        exact_edges AS (
+          SELECT rep AS a, doc_id AS b FROM exact_c WHERE doc_id != rep
+        ),
+        reps AS (
+          SELECT doc_id, {_NORM_SQL} AS t FROM exact_c WHERE doc_id = rep
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, substring(t, i, {k}) AS s
+          FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {k} + 1)) AS i
+            FROM reps WHERE len(t) > {k}
+          )
+          UNION
+          SELECT doc_id, t AS s FROM reps
+          WHERE len(t) >= 1 AND len(t) <= {k}
+        ),
+        sh_sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        sh_inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        mh_pairs AS (
+          SELECT a, b,
+                 CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM sh_inter
+          JOIN sh_sizes sa ON sa.doc_id = a
+          JOIN sh_sizes sb ON sb.doc_id = b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {theta}
+        )
+    """
+
+
+def _closure_cte() -> str:
+    """Transitive closure over `edges(a, b)` → labels(doc_id,
+    cluster_id = min reachable id): the SQL twin of the large/small-
+    star connected components."""
+    return """
+        sym AS (
+          SELECT a AS src, b AS dst FROM edges
+          UNION
+          SELECT b AS src, a AS dst FROM edges
+        ),
+        reach AS (
+          SELECT src AS node, src AS r FROM sym
+          UNION
+          SELECT s.dst AS node, reach.r AS r
+          FROM reach JOIN sym s ON s.src = reach.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        )
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(trim(text), '\\s+')"
@@ -718,6 +843,179 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "minhash_dup_pairs": f"""
+            WITH {_dedup_cte()}
+            SELECT a, b, round(jaccard, 6) AS jaccard,
+                   'minhash' AS method
+            FROM mh_pairs
+            UNION ALL
+            SELECT a, b, 1.0 AS jaccard, 'exact' AS method
+            FROM exact_edges
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_dedup_cte()},
+            edges AS (
+              SELECT a, b FROM exact_edges
+              UNION
+              SELECT a, b FROM mh_pairs
+            ),
+            {_closure_cte()}
+            SELECT d.doc_id,
+                   ({_STATUS_SQL}) AS status,
+                   coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+            FROM documents d
+            LEFT JOIN labels l ON l.doc_id = d.doc_id
+        """,
+        "incremental_dedup": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, {_NORM_SQL} AS t FROM documents
+              WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, substring(t, i, {CFG.shingle_k}) AS s
+              FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {CFG.shingle_k} + 1)) AS i
+                FROM d WHERE len(t) > {CFG.shingle_k}
+              )
+              UNION
+              SELECT doc_id, t AS s FROM d
+              WHERE len(t) >= 1 AND len(t) <= {CFG.shingle_k}
+            ),
+            sh_sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            sh_inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT a, b FROM sh_inter
+              JOIN sh_sizes sa ON sa.doc_id = a
+              JOIN sh_sizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i)
+                    >= {CFG.jaccard_threshold}
+            ),
+            {_closure_cte()}
+            SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+            FROM d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        """,
+        "embedding_dup_pairs": """
+            WITH all_v AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 5 = 0
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(
+                     x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine
+            FROM all_v x JOIN all_v y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                    x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.99
+        """,
+        "long_span_pairs": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM_SQL} AS t FROM documents
+              WHERE ({_STATUS_SQL}) = 'ok'
+            ),
+            w AS (
+              SELECT doc_id, i, substring(t, i, {CFG.span_window}) AS win
+              FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {CFG.span_window} + 1)) AS i
+                FROM norm WHERE len(t) >= {CFG.span_window}
+              )
+            ),
+            m AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     (y.i - x.i) AS diag, x.i AS pa
+              FROM w x JOIN w y ON x.win = y.win AND x.doc_id < y.doc_id
+            ),
+            r AS (
+              SELECT a, b, diag, pa,
+                     pa - row_number() OVER (
+                       PARTITION BY a, b, diag ORDER BY pa) AS isl
+              FROM m
+            ),
+            runs AS (
+              SELECT a, b, diag, isl, count(*) AS run
+              FROM r GROUP BY 1, 2, 3, 4
+            ),
+            spans AS (
+              SELECT a, b,
+                     CAST(max(run) + {CFG.span_window - 1} AS INT) AS span_len
+              FROM runs GROUP BY 1, 2
+            )
+            SELECT a, b, span_len, 'suffix' AS method
+            FROM spans WHERE span_len >= 200
+        """,
+        "duplicate_report": f"""
+            WITH {_dedup_cte()},
+            all_pairs AS (
+              SELECT a, b, jaccard FROM mh_pairs
+              UNION ALL
+              SELECT a, b, 1.0 AS jaccard FROM exact_edges
+            )
+            SELECT a, count(*) AS n_duplicates,
+                   round(min(jaccard), 6) AS min_jaccard,
+                   round(max(jaccard), 6) AS max_jaccard,
+                   round(avg(jaccard), 6) AS avg_jaccard
+            FROM all_pairs GROUP BY a
+        """,
+        "consolidated_report": f"""
+            WITH RECURSIVE {_dedup_cte()},
+            edges AS (
+              SELECT a, b FROM exact_edges
+              UNION
+              SELECT a, b FROM mh_pairs
+            ),
+            {_closure_cte()},
+            cl AS (
+              SELECT d.doc_id,
+                     ({_STATUS_SQL}) AS status,
+                     coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                     (coalesce(l.cluster_id, d.doc_id) = d.doc_id)
+                       AS is_canonical
+              FROM documents d
+              LEFT JOIN labels l ON l.doc_id = d.doc_id
+            )
+            SELECT doc_id, status, cluster_id, is_canonical,
+                   CASE WHEN status != 'ok' THEN status
+                        WHEN is_canonical THEN 'unique'
+                        ELSE 'duplicate' END AS disposition
+            FROM cl
+        """,
+        "summary_metrics": f"""
+            WITH RECURSIVE {_dedup_cte()},
+            edges AS (
+              SELECT a, b FROM exact_edges
+              UNION
+              SELECT a, b FROM mh_pairs
+            ),
+            {_closure_cte()},
+            cl AS (
+              SELECT d.doc_id,
+                     ({_STATUS_SQL}) AS status,
+                     coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                     (coalesce(l.cluster_id, d.doc_id) = d.doc_id)
+                       AS is_canonical
+              FROM documents d
+              LEFT JOIN labels l ON l.doc_id = d.doc_id
+            )
+            SELECT count(*) AS total_docs,
+                   sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS ok_docs,
+                   sum(CASE WHEN status = 'empty' THEN 1 ELSE 0 END)
+                     AS empty_docs,
+                   sum(CASE WHEN status = 'corrupted' THEN 1 ELSE 0 END)
+                     AS corrupted_docs,
+                   sum(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END)
+                     AS low_quality_docs,
+                   sum(CASE WHEN status = 'ok' AND NOT is_canonical
+                            THEN 1 ELSE 0 END) AS duplicate_docs,
+                   count(DISTINCT cluster_id) AS n_clusters
+            FROM cl
         """,
         "ann_topk": """
             WITH scored AS (
