@@ -64,10 +64,43 @@ class StageCatalog:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self._manifest(name))
 
+    def append(self, name: str, df: DataFrame, meta: dict | None = None) -> None:
+        """Append-only commit (the Iceberg append-snapshot analogue).
+
+        Only the NEW rows are written — the manifest accumulates the
+        list of live data paths and ``read`` unions them.  This is
+        what makes incremental state O(new) per batch: appending a
+        micro-batch's signatures/buckets/edges never rewrites the
+        accumulated state (north_rule: a 10^12-doc run's micro-batch
+        cost must not scale with the corpus).
+        """
+        version = 1
+        prior_paths: list[str] = []
+        if self.is_committed(name):
+            m = self.read_manifest(name)
+            version = int(m.get("version", 0)) + 1
+            prior_paths = m.get("paths", [m["path"]])
+        path = os.path.join(self.root, f"{name}@v{version}")
+        df.write.mode("overwrite").parquet(path)
+        manifest = {
+            "table": name,
+            "path": path,
+            "paths": prior_paths + [path],
+            "version": version,
+            "committed_at_unix": time.time(),
+            **(meta or {}),
+        }
+        tmp = self._manifest(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest(name))
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"stage table not committed: {name}")
-        return spark.read.parquet(self.read_manifest(name)["path"])
+        m = self.read_manifest(name)
+        paths = m.get("paths") or [m["path"]]
+        return spark.read.parquet(*paths)
 
     def read_manifest(self, name: str) -> dict:
         with open(self._manifest(name)) as f:

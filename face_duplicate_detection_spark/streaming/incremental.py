@@ -7,11 +7,12 @@ lists are threaded through every ``process_batch`` call
 (``/root/reference/duplicate_face.py:164-198``, state passed at
 186-189).  Spark re-expression (SURVEY.md §2.10 B2/B5):
 
-- **batch mode** (:func:`incremental_batch`): the new slice is signed,
-  LSH-joined against BOTH itself and the existing representative
-  signature table (broadcast when small — SURVEY.md §2.4 J7), verified
-  edges are unioned with prior cluster edges and CC re-runs; state
-  tables are overwritten via the StageCatalog.
+- **batch mode** (:func:`incremental_batch`): the new slice is signed
+  and LSH-joined against itself plus the *touched slice* of the
+  persisted bucket state (broadcast-pruned — SURVEY.md §2.4 J7);
+  verified edges re-cluster only the affected components; all state
+  tables are APPEND-committed so each micro-batch costs O(new), not
+  O(corpus).
 - **streaming mode** (:func:`stream_dedup`): Structured Streaming
   ``foreachBatch`` + ``Trigger.AvailableNow`` drives the same batch
   function — exactly-once per micro-batch with checkpointed offsets.
@@ -36,33 +37,86 @@ from face_duplicate_detection_spark.operators.signatures import compute_signatur
 from face_duplicate_detection_spark.operators.verify import verify_pairs
 
 
+def resolved_clusters(spark: SparkSession, catalog: StageCatalog) -> DataFrame:
+    """Merge-on-read view of the cluster state: all seen doc_ids ⟕
+    latest label delta (highest batch_seq wins), singletons implicit.
+    """
+    from pyspark.sql.window import Window
+
+    ids = catalog.read(spark, "state_signatures").select("doc_id")
+    if not catalog.is_committed("state_clusters"):
+        return ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    deltas = catalog.read(spark, "state_clusters")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_seq"))
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("cluster_id").alias("_label"))
+    )
+    return ids.join(latest, "doc_id", "left").select(
+        "doc_id", F.coalesce("_label", F.col("doc_id")).alias("cluster_id")
+    )
+
+
 def incremental_batch(
     new_docs: DataFrame,
     cfg: DedupConfig,
     catalog: StageCatalog,
     spark: SparkSession | None = None,
+    with_metrics: bool = False,
 ) -> DataFrame:
     """Dedup `new_docs` against all previously-seen state; returns the
-    updated clusters table and commits updated state tables.
+    updated clusters view and commits state deltas.
 
-    State tables in the catalog: ``state_signatures``, ``state_edges``.
+    **O(new) per batch** (VERDICT r1 "what's wrong" #4): the previous
+    round re-bucketed every accumulated signature and re-ran CC on the
+    full edge set each micro-batch — O(corpus) work per batch.  Now:
+
+    - ``state_buckets`` persists the exploded band buckets; a new
+      batch SEMI-JOINS it on the new docs' band hashes, so only
+      *touched* buckets re-pair — the accumulated state is read
+      (pruned by the join), never re-hashed, never rewritten.
+    - new verified edges only ever touch a new doc (old×old pairs were
+      resolved in earlier batches).
+    - CC re-runs only on *affected components*: prior edges whose
+      component label appears among the new edges' endpoints, plus the
+      new edges.  Untouched components keep their labels.
+    - every state table is APPEND-committed (catalog.append) — the
+      micro-batch writes new signatures, new buckets, new edges, and
+      label deltas for affected nodes; nothing proportional to the
+      corpus.
+
+    State tables: ``state_signatures``, ``state_buckets``,
+    ``state_edges``, ``state_clusters`` (label deltas keyed by
+    ``batch_seq``; merge-on-read resolution in
+    :func:`resolved_clusters`).
     """
     spark = spark or new_docs.sparkSession
 
-    new_sigs = compute_signatures(new_docs, cfg)
+    new_sigs = compute_signatures(new_docs, cfg).localCheckpoint(eager=True)
+    new_buckets = explode_buckets(new_sigs)
+    has_state = catalog.is_committed("state_signatures")
+    batch_seq = 1
+    if catalog.is_committed("state_clusters"):
+        batch_seq = int(catalog.read_manifest("state_clusters")["version"]) + 1
 
-    if catalog.is_committed("state_signatures"):
-        old_sigs = catalog.read(spark, "state_signatures")
-        all_sigs = old_sigs.unionByName(new_sigs)
+    if has_state:
+        old_buckets = catalog.read(spark, "state_buckets")
+        # prune the accumulated bucket state to buckets a new doc
+        # touches — parquet-scan + semi-join, no re-hashing of old docs
+        touched = old_buckets.join(
+            new_buckets.select("band", "band_hash").distinct(),
+            ["band", "band_hash"],
+            "left_semi",
+        )
+        bucket_input = touched.unionByName(new_buckets)
+        all_sigs = catalog.read(spark, "state_signatures").unionByName(new_sigs)
     else:
+        bucket_input = new_buckets
         all_sigs = new_sigs
 
-    # candidates among (new × new) ∪ (new × old): bucket join over the
-    # union, then keep pairs touching at least one new doc — old×old
-    # pairs were already resolved in previous batches.
+    cand = candidate_pairs(bucket_input, cfg)
     new_ids = new_sigs.select(F.col("doc_id").alias("nid"))
-    buckets = explode_buckets(all_sigs)
-    cand = candidate_pairs(buckets, cfg)
     cand_new = (
         cand.join(F.broadcast(new_ids), cand["a"] == F.col("nid"), "left")
         .withColumnRenamed("nid", "a_new")
@@ -71,26 +125,68 @@ def incremental_batch(
         .select("a", "b", "n_bands", "forced")
     )
 
-    new_edges = verify_pairs(cand_new, all_sigs, cfg).select("a", "b")
-    if catalog.is_committed("state_edges"):
-        all_edges = catalog.read(spark, "state_edges").unionByName(new_edges)
+    new_edges = verify_pairs(cand_new, all_sigs, cfg).select(
+        "a", "b"
+    ).localCheckpoint(eager=True)
+
+    if has_state and catalog.is_committed("state_edges"):
+        prior = resolved_clusters(spark, catalog).localCheckpoint(eager=True)
+        # components touched by a new edge (new docs resolve to
+        # themselves — they have no prior label)
+        endpoint_ids = (
+            new_edges.select(F.col("a").alias("doc_id"))
+            .unionByName(new_edges.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        affected = F.broadcast(
+            endpoint_ids.join(prior, "doc_id", "left")
+            .select(
+                F.coalesce("cluster_id", F.col("doc_id")).alias("aff_label")
+            )
+            .distinct()
+        )
+        old_edges = catalog.read(spark, "state_edges")
+        affected_edges = (
+            old_edges.join(
+                prior.select(
+                    F.col("doc_id").alias("a"),
+                    F.col("cluster_id").alias("_la"),
+                ),
+                "a",
+            )
+            .join(affected, F.col("_la") == F.col("aff_label"), "left_semi")
+            .select("a", "b")
+        )
+        cc_edges = new_edges.unionByName(affected_edges)
     else:
-        all_edges = new_edges
+        cc_edges = new_edges
 
-    labels = connected_components(all_edges)
+    labels = connected_components(cc_edges)
 
-    catalog.write("state_signatures", all_sigs)
-    catalog.write("state_edges", all_edges.dropDuplicates(["a", "b"]))
-    catalog.write(
+    catalog.append("state_signatures", new_sigs)
+    catalog.append("state_buckets", new_buckets)
+    catalog.append("state_edges", new_edges)
+    catalog.append(
         "state_clusters",
-        all_sigs.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        labels.select(
+            "doc_id", "cluster_id", F.lit(batch_seq).alias("batch_seq")
         ),
     )
-    return catalog.read(spark, "state_clusters")
+    if with_metrics:
+        metrics = {
+            "n_new_sigs": new_sigs.count(),
+            "n_new_bucket_rows": new_buckets.count(),
+            "n_bucket_input_rows": bucket_input.count(),
+            "n_new_edges": new_edges.count(),
+        }
+        catalog.append(
+            "inc_metrics",
+            spark.createDataFrame(
+                [tuple(metrics.values()) + (batch_seq,)],
+                list(metrics.keys()) + ["batch_seq"],
+            ),
+        )
+    return resolved_clusters(spark, catalog)
 
 
 def stream_dedup(

@@ -55,6 +55,77 @@ def test_two_batches_equal_full_run(spark, cfg, pages_500, tmp_path_factory):
     )
 
 
+def test_batch2_does_not_rebucket_batch1(spark, cfg, pages_500, tmp_path_factory):
+    """O(new) contract (VERDICT r1 #4): a second batch with NO
+    near-dups of batch 1 must not reprocess batch-1 state — its bucket
+    input stays ~its own size, not the accumulated corpus."""
+    norm = matchable_docs(normalize_pages(pages_500, cfg)).select("doc_id", "text")
+    cat = StageCatalog(str(tmp_path_factory.mktemp("incr3")))
+    # batches from different decades' bases: essentially disjoint text
+    b1 = norm.filter(F.col("doc_id") < 250)
+    b2 = norm.filter(F.col("doc_id") >= 250)
+    incremental_batch(b1, cfg, cat, spark, with_metrics=True)
+    incremental_batch(b2, cfg, cat, spark, with_metrics=True)
+    m = {
+        r["batch_seq"]: r.asDict()
+        for r in cat.read(spark, "inc_metrics").collect()
+    }
+    total_bucket_rows = m[1]["n_new_bucket_rows"] + m[2]["n_new_bucket_rows"]
+    # batch 2's candidate input = its own buckets + touched old buckets;
+    # with disjoint batches, touched must be a small fraction of batch-1
+    # state, nowhere near a full re-bucket
+    assert m[2]["n_bucket_input_rows"] < m[2]["n_new_bucket_rows"] * 1.25, (
+        f"batch 2 re-read {m[2]['n_bucket_input_rows']} bucket rows "
+        f"(own: {m[2]['n_new_bucket_rows']}, total state: {total_bucket_rows})"
+    )
+
+
+def test_new_edge_merges_two_prior_clusters(spark, cfg, tmp_path_factory):
+    """Affected-component re-clustering: a batch-2 bridge doc similar
+    (≥ θ) to two separate batch-1 clusters must merge them under one
+    canonical — the case where carried labels must be REWRITTEN, not
+    just extended."""
+    import numpy as np
+
+    from face_duplicate_detection_spark.functions.text_hashing import (
+        normalize_text,
+        shingle_hashes,
+    )
+
+    words = [f"tok{i:03d}" for i in range(100)]
+    mid = " ".join(words)                                  # bridge C
+    head = " ".join(["xaa%03d" % i for i in range(8)] + words[8:])  # A
+    tail = " ".join(words[:92] + ["zbb%03d" % i for i in range(92, 100)])  # B
+
+    def jac(x, y):
+        sx = shingle_hashes(normalize_text(x), cfg.shingle_k)
+        sy = shingle_hashes(normalize_text(y), cfg.shingle_k)
+        inter = np.intersect1d(sx, sy).size
+        return inter / (sx.size + sy.size - inter)
+
+    # preconditions: C bridges A and B, but A ≁ B directly
+    assert jac(mid, head) >= cfg.jaccard_threshold
+    assert jac(mid, tail) >= cfg.jaccard_threshold
+    assert jac(head, tail) < cfg.jaccard_threshold
+
+    cat = StageCatalog(str(tmp_path_factory.mktemp("incr4")))
+    batch1 = spark.createDataFrame(
+        [(1, head), (2, head), (10, tail), (11, tail)], ["doc_id", "text"]
+    )
+    first = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_batch(batch1, cfg, cat, spark).collect()
+    }
+    assert first == {1: 1, 2: 1, 10: 10, 11: 10}
+
+    batch2 = spark.createDataFrame([(20, mid)], ["doc_id", "text"])
+    final = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_batch(batch2, cfg, cat, spark).collect()
+    }
+    assert final == {1: 1, 2: 1, 10: 1, 11: 1, 20: 1}
+
+
 def test_second_batch_matches_first_batch_state(spark, cfg, pages_500, tmp_path_factory):
     """A doc in batch 2 that duplicates a batch-1 doc must join the
     batch-1 cluster (the reference's known-representatives semantics,

@@ -11,7 +11,10 @@ from face_duplicate_detection_spark.functions.normalize import (
     matchable_docs,
     normalize_pages,
 )
-from face_duplicate_detection_spark.streaming.incremental import stream_dedup
+from face_duplicate_detection_spark.streaming.incremental import (
+    resolved_clusters,
+    stream_dedup,
+)
 
 
 def test_stream_dedup_available_now(spark, cfg, pages_500, tmp_path_factory):
@@ -30,7 +33,7 @@ def test_stream_dedup_available_now(spark, cfg, pages_500, tmp_path_factory):
     q = stream_dedup(spark, src, ckpt, state, cfg, schema=norm.schema)
     q.awaitTermination(300)
 
-    clusters = state.read(spark, "state_clusters")
+    clusters = resolved_clusters(spark, state)
     n = clusters.count()
     assert n == norm.count()
     # planted exact dups must be clustered across the whole stream
@@ -46,4 +49,4 @@ def test_stream_dedup_available_now(spark, cfg, pages_500, tmp_path_factory):
     # restart with AvailableNow and no new files: no-op, state intact
     q2 = stream_dedup(spark, src, ckpt, state, cfg, schema=norm.schema)
     q2.awaitTermination(120)
-    assert state.read(spark, "state_clusters").count() == n
+    assert resolved_clusters(spark, state).count() == n
