@@ -49,6 +49,38 @@ SIGNATURE_SCHEMA = T.StructType(
     ]
 )
 
+SHINGLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("shingles", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def compute_shingle_sets(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, shingles) — the verify-time
+    recompute path when ``cfg.store_shingles`` is False: callers
+    semi-join `docs` down to candidate ids first, so this Arrow pass
+    is linear in the candidate set, never the corpus."""
+    k = cfg.shingle_k
+    lowercase, fold = cfg.lowercase, cfg.fold_whitespace
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "shingles": [
+                        shingle_hashes(
+                            normalize_text(t, lowercase, fold), k
+                        ).view(np.int64)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=SHINGLE_SCHEMA)
+
 
 def compute_signatures(
     docs: DataFrame, cfg: DedupConfig, parallelism: int | None = None
@@ -105,4 +137,9 @@ def compute_signatures(
         parallelism = inp.sparkSession.sparkContext.defaultParallelism
     if inp.rdd.getNumPartitions() < parallelism:
         inp = inp.repartition(parallelism)
-    return inp.mapInPandas(sign, schema=SIGNATURE_SCHEMA)
+    out = inp.mapInPandas(sign, schema=SIGNATURE_SCHEMA)
+    if not cfg.store_shingles:
+        # bounded-state mode: the checkpointable table carries only
+        # O(docs·perms) columns; verify recomputes candidate shingles
+        out = out.drop("shingles")
+    return out

@@ -23,7 +23,10 @@ from face_duplicate_detection_spark.config import DedupConfig
 
 
 def verify_pairs(
-    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """pairs(a, b) ⋈ signatures → dup_pairs(a, b, jaccard, hamming, method).
 
@@ -31,6 +34,11 @@ def verify_pairs(
     signature joins shuffle just the candidate doc_ids' shingle arrays
     (semi-join reduction happens naturally: `pairs` is the small side
     after LSH).
+
+    Bounded-state mode (``cfg.store_shingles=False``): `signatures`
+    has no shingle arrays; pass `docs(doc_id, text)` and the exact
+    shingle sets are recomputed for the candidate docs only — one
+    semi-join-pruned Arrow pass over ~candidates, not corpus.
     """
     if "n_bands" in pairs.columns and cfg.min_band_collisions > 1:
         # free pre-filter: n_bands is a MinHash similarity estimate the
@@ -52,9 +60,29 @@ def verify_pairs(
         .unionByName(pairs.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    sig = signatures.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", "shingles", "simhash"
-    )
+    if "shingles" in signatures.columns:
+        sig = signatures.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", "shingles", "simhash"
+        )
+    else:
+        if docs is None:
+            raise ValueError(
+                "signatures table has no shingle arrays "
+                "(cfg.store_shingles=False) — pass docs(doc_id, text) "
+                "so candidate shingles can be recomputed"
+            )
+        from face_duplicate_detection_spark.operators.signatures import (
+            compute_shingle_sets,
+        )
+
+        sh = compute_shingle_sets(
+            docs.join(cand_ids, "doc_id", "left_semi"), cfg
+        )
+        sig = (
+            signatures.join(cand_ids, "doc_id", "left_semi")
+            .select("doc_id", "simhash")
+            .join(sh, "doc_id")
+        )
     ja = sig.select(
         F.col("doc_id").alias("a"),
         F.col("shingles").alias("sh_a"),

@@ -127,7 +127,9 @@ def run_pipeline(
     cand = stage("candidate_pairs", build_pairs)
 
     def build_dup_pairs():
-        verified = verify_pairs(cand, signatures, cfg)
+        # bounded-state mode recomputes candidate shingles from the
+        # representative texts (cfg.store_shingles=False)
+        verified = verify_pairs(cand, signatures, cfg, docs=reps)
         # exact-text copies are collapsed before signatures (scale fast
         # path), so surface their edges here as jaccard-1.0 dup pairs —
         # the reference emits these as ordinary matches (distance 0,

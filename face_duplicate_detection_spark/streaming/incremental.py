@@ -92,6 +92,12 @@ def incremental_batch(
     :func:`resolved_clusters`).
     """
     spark = spark or new_docs.sparkSession
+    if not cfg.store_shingles:
+        raise ValueError(
+            "incremental/streaming dedup requires cfg.store_shingles=True: "
+            "the carried signature state has no texts to recompute "
+            "candidate shingles from"
+        )
 
     new_sigs = compute_signatures(new_docs, cfg).localCheckpoint(eager=True)
     new_buckets = explode_buckets(new_sigs)

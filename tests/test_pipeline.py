@@ -190,6 +190,35 @@ def test_status_rows_are_singletons(pipeline_result):
     assert non_ok.filter(F.col("cluster_id") != F.col("doc_id")).count() == 0
 
 
+def test_bounded_signature_state_mode(pipeline_result, pages_500, cfg):
+    """cfg.store_shingles=False (100 TB state mode): the signatures
+    checkpoint drops the O(total text) shingle arrays and verification
+    recomputes them for candidates only — results must be identical to
+    the default mode."""
+    res = run_pipeline(
+        pages_500, cfg.with_(store_shingles=False), input_kind="pages"
+    )
+    assert "shingles" not in res.signatures.columns
+    base_pairs = {
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in pipeline_result.dup_pairs.select("a", "b", "jaccard").collect()
+    }
+    mode_pairs = {
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in res.dup_pairs.select("a", "b", "jaccard").collect()
+    }
+    assert mode_pairs == base_pairs
+    base_cl = {
+        (r["doc_id"], r["cluster_id"])
+        for r in pipeline_result.clusters.select("doc_id", "cluster_id").collect()
+    }
+    mode_cl = {
+        (r["doc_id"], r["cluster_id"])
+        for r in res.clusters.select("doc_id", "cluster_id").collect()
+    }
+    assert mode_cl == base_cl
+
+
 def test_dup_assignments_form(pipeline_result):
     """(canonical, duplicate) rows mirror the reference's duplicates
     dict (duplicate_face.py:69-70): canonical ≠ duplicate, canonical
