@@ -469,6 +469,23 @@ def q_media_features(spark, sf_dir):
     return feature_summary(extract_features(media))
 
 
+def q_ann_topk_large(spark, sf_dir):
+    """Large-query-set ANN: every vector queries the corpus (queries ≈
+    corpus, so the broadcast cross join of `ann_topk` is off the
+    table).  Cell-partitioned IVF plan with n_probe = n_centroids —
+    exhaustive (exact, oracle-checkable) but shuffle-partitioned by
+    centroid cell instead of broadcast; lower n_probe trades recall
+    for cost on clustered data (pytest covers that mode)."""
+    from face_duplicate_detection_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(
+        emb, emb, k=3, n_centroids=16, n_probe=16
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def q_duplicate_report(spark, sf_dir):
     """S5 report: per-canonical duplicate counts + similarity stats
     over the full verified pair set (exact ∪ minhash)."""
@@ -543,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_user": q_events_by_user,
         "lineitem_pricing": q_lineitem_pricing,
         "ann_topk": q_ann_topk,
+        "ann_topk_large": q_ann_topk_large,
         # flagship pipeline queries — full DuckDB twins (exhaustive
         # shingle-Jaccard + WITH RECURSIVE transitive closure)
         "minhash_dup_pairs": q_minhash_dup_pairs,
@@ -843,6 +861,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "ann_topk_large": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  AS cos_raw
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+                ) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM ranked WHERE rank <= 3
         """,
         "minhash_dup_pairs": f"""
             WITH {_dedup_cte()}

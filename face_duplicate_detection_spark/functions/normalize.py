@@ -59,14 +59,28 @@ def extract_text(html: bytes | None) -> str | None:
 def _extract_series(html: pd.Series) -> pd.Series:
     """Vectorized extraction: decode + regex via pandas .str (C loops).
 
-    Decode failures are detected by round-trip replacement-char check
-    (vectorized) rather than per-row try/except.
+    Decode failures are detected by a vectorized U+FFFD scan after
+    ``errors='replace'``; the (rare) flagged rows get a per-row STRICT
+    re-decode — a page legitimately containing the replacement
+    character is NOT corrupted (ADVICE r1: flagging every U+FFFD
+    diverged from the pure :func:`extract_text`, which this must match
+    row-for-row).
     """
     decoded = html.str.decode("utf-8", errors="replace")
-    bad = decoded.str.contains("�", regex=False).fillna(True)
-    extracted = decoded.str.extract(_BODY_RE, expand=False)
-    extracted[bad] = None
-    return extracted
+    suspect = decoded.str.contains("�", regex=False).fillna(True)
+    if suspect.any():
+
+        def strict(b):
+            if b is None:
+                return None
+            try:
+                return bytes(b).decode("utf-8", errors="strict")
+            except UnicodeDecodeError:
+                return None
+
+        decoded = decoded.copy()
+        decoded[suspect] = html[suspect].map(strict)
+    return decoded.str.extract(_BODY_RE, expand=False)
 
 
 def status_expr(text_col: Column, cfg: DedupConfig) -> Column:

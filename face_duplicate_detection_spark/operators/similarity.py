@@ -86,6 +86,87 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style top-k for LARGE query sets (queries ≈ corpus).
+
+    The brute-force plan broadcasts the queries and scans the corpus
+    once — correct only while the query set fits a broadcast.  Here
+    both sides are *partitioned by coarse centroid cell*:
+
+    1. centroids = deterministic hash-ordered sample of corpus
+       vectors (collected: n_centroids × dim, tiny);
+    2. every corpus vector is assigned to its nearest centroid, every
+       query to its ``n_probe`` nearest (one Arrow matmul pass each);
+    3. cells equi-join (queries explode ×n_probe) and a per-query
+       window takes the top k.
+
+    The join is cell-local — at 10^9 queries × 10^9 corpus this is
+    the shuffle-partitioned plan, vs. the brute-force cross join that
+    can't broadcast.  Recall < 1 when a true neighbor lives outside
+    the probed cells; ``n_probe == n_centroids`` degenerates to exact.
+    Output: query_id, neighbor_id, cosine (rounded 6), rank.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid")))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign_udf(n_nearest: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = V @ C.T
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_nearest]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        return assign
+
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(assign_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(assign_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    # no dedup needed: each neighbor lives in exactly one cell, probe
+    # cells are distinct — a (query, neighbor) pair meets at most once
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

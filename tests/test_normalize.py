@@ -22,6 +22,30 @@ def test_extract_text_pure_roundtrip():
     assert extract_text(None) is None
 
 
+def test_legit_replacement_char_not_corrupted(spark, cfg):
+    """ADVICE r1: a page legitimately containing U+FFFD must extract
+    (status != corrupted) and match the pure extract_text row-for-row,
+    alongside genuinely undecodable and clean rows."""
+    legit = "before � after padding padding padding padding"
+    rows = [
+        (1, f"<html><body>{legit}</body></html>".encode()),
+        (2, b"\xff\xfe truly broken bytes"),
+        (3, b"<html><body>plain clean page body text content here</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, ["doc_id", "html"]).withColumn(
+        "url", F.col("doc_id").cast("string")
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["status"])
+        for r in normalize_pages(pages, cfg).collect()
+    }
+    assert out[1] == (legit, STATUS_OK)
+    assert out[2] == (None, STATUS_CORRUPTED)
+    assert out[3][1] == STATUS_OK
+    for doc_id, html in rows:
+        assert out[doc_id][0] == extract_text(html), doc_id
+
+
 def test_pages_byte_identical_text_invariant(spark, pages_500, cfg):
     """BASELINE.json input_hint: extracted text == source text per url
     for every non-corrupted row."""

@@ -48,6 +48,64 @@ def test_topk_rank_is_dense_and_bounded(spark, embeddings):
     assert got.filter(~F.col("rank").between(1, 3)).count() == 0
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, embeddings):
+    """n_probe == n_centroids degenerates to exact exhaustive search
+    (the cell-partitioned plan for query sets too big to broadcast)."""
+    from face_duplicate_detection_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_bruteforce(embeddings, embeddings, k=4).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_ivf(
+            embeddings, embeddings, k=4, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_probe_recall_on_clustered_data(spark):
+    """On clustered embeddings (IVF's target regime), probing a few
+    cells recovers almost all true neighbors at a fraction of the
+    scanned volume; recall grows with n_probe."""
+    import numpy as np
+
+    from face_duplicate_detection_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((12, 16)) * 5
+    rows = []
+    for i in range(600):
+        c = centers[i % 12]
+        v = c + rng.standard_normal(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb, emb, k=1).collect()
+    }
+    recalls = {}
+    for n_probe in (2, 6):
+        ivf = {
+            r["query_id"]: r["neighbor_id"]
+            for r in cosine_topk_ivf(
+                emb, emb, k=1, n_centroids=24, n_probe=n_probe
+            ).collect()
+        }
+        recalls[n_probe] = sum(
+            1 for q, n in bf.items() if ivf.get(q) == n
+        ) / len(bf)
+    assert recalls[2] >= 0.9, recalls
+    assert recalls[6] >= recalls[2]
+
+
 def test_lsh_pairs_subset_of_bruteforce_threshold(spark, embeddings):
     """Every LSH-found pair really has cosine ≥ θ (verify step), and
     LSH finds a decent share of what brute force finds."""
