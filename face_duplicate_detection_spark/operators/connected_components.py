@@ -62,12 +62,13 @@ def _star_round(e: DataFrame) -> DataFrame:
         e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    # no distinct here: duplicate (hi, lo) rows don't change small-star
+    # minima and the final distinct dedups — saves a full shuffle/round
     large = (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         .filter(F.col("hi") != F.col("lo"))
-        .distinct()
     )
 
     # ---- small-star on the large-star output (hi > lo oriented) ----
@@ -99,11 +100,11 @@ def connected_components(
     raw = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     )
+    # lazy: consumed once by the final join — no checkpoint job needed
     nodes = (
         raw.select(F.col("a").alias("node"))
         .unionByName(raw.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=eager)
     )
     e = (
         raw.filter(F.col("a") != F.col("b"))

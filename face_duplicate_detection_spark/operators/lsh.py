@@ -46,34 +46,30 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """buckets → distinct candidate pairs (a < b) with band-collision
     counts.
 
-    Single-scan design — the bucket stream (≈ corpus × bands rows,
-    often fed by an expensive upstream like an Arrow hashing pass) is
-    consumed exactly ONCE:
+    Census design: a cheap keys-only size count first (map-side
+    combined — shuffles one long per distinct bucket, not the rows),
+    the handful of mega keys broadcast, then ONE ``collect_list``
+    aggregation of the non-mega rows and a single native
+    higher-order expression emits either all pairs (bucket ≤
+    bucket_cap) or chain pairs (each doc × its next ``chain_window``
+    neighbors — linear volume, still connected).
 
-    1. every row is salted with ``pmod(xxhash64(doc_id, band_hash),
-       S)`` and aggregated per (bucket, salt) — every ``collect_list``
-       group is bounded by the salt split *before* anything is
-       collected (north_rule salted-key skew mitigation);
-    2. subgroups larger than ``mega_bucket_cap`` (⇒ their bucket is
-       certainly mega) emit chain pairs immediately;
-    3. the ≤ S subgroup rows per bucket are re-aggregated — carrying
-       members only for subgroups ≤ mega_bucket_cap, so the payload of
-       this group is hard-bounded by S·mega_bucket_cap elements — and
-       one native expression emits either all-window pairs (normal
-       bucket: members merged back, identical to an unsalted
-       collect_list) or per-subgroup chains + all-pairs bridges over
-       the subgroup minima (mega bucket: connected at O(m·W) pairs).
+    (A salt-first single-scan variant was tried in round 2 and
+    reverted: salting every row before grouping turns millions of
+    size-1-2 buckets into two array-building aggregations — measured
+    37.6s vs ~13s for this design on the 200k-doc scaling corpus.
+    The census's 3 scans of the input are cheap because the bucket
+    stream is either a posexplode of cached signatures or a
+    rebalanced Arrow pass.)
 
-    Steps 2 and 3 both read the step-1 aggregate: inside the one final
-    plan Spark's ReuseExchange dedups that shuffle, so the input
-    lineage runs once (the previous size-census + anti/semi-join
-    formulation scanned the input three times — measured 3× the
-    suffix stage's candidate wall at sf0.1).
-
-    **Small buckets** (≤ bucket_cap): all pairs.  **Oversized** (>
-    cap): each doc pairs with its next ``chain_window`` neighbors —
-    linear volume, still connected.  **Mega** (> mega_bucket_cap):
-    chains within salt subgroups + bridged subgroup minima.
+    **Mega buckets** (north_rule salted-key skew mitigation): a
+    pathological boilerplate bucket at 10^12-doc scale could make one
+    collect_list group unbounded.  Buckets above ``mega_bucket_cap``
+    are salted into ``salt_buckets`` subgroups keyed by
+    ``pmod(xxhash64(doc_id, band_hash), S)`` — bounding every
+    aggregated group — chained within each subgroup, and the subgroup
+    minima are bridged pairwise so the bucket remains one connected
+    component for CC.
 
     Mega chain/bridge pairs are tagged ``forced``: the salt varies per
     band, so a given mega pair is typically proposed by exactly ONE
@@ -82,89 +78,68 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     pathological bucket (ADVICE r1).  Forced pairs skip that
     pre-filter; exact Jaccard verification alone decides them.
     """
-    S = cfg.salt_buckets
-    W = cfg.chain_window
-    cap = cfg.bucket_cap
-    mega = cfg.mega_bucket_cap
 
-    def pair_structs(members, cap_, window, forced):
-        """array<struct<a,b,forced>> — each member × its next `width`
-        successors in the sorted array (width = whole array below
-        cap_, else `window`)."""
-        m = F.size(members)
-        width = F.when(m <= cap_, m).otherwise(F.lit(window))
-        return F.flatten(
-            F.transform(
-                members,
-                lambda x, i: F.transform(
-                    F.slice(
-                        members,
-                        i + F.lit(2),
-                        F.greatest(F.least(width, m - i - 1), F.lit(0)),
-                    ),
-                    lambda y: F.struct(
-                        x.alias("a"), y.alias("b"),
-                        F.lit(forced).alias("forced"),
-                    ),
-                ),
-            )
-        )
+    def pairs_from_members(lists: DataFrame, cap: int, window: int) -> DataFrame:
+        m = F.size(F.col("members"))
+        width = F.when(m <= cap, m).otherwise(F.lit(window))
+        return lists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "members",
+                                i + F.lit(2),
+                                F.greatest(F.least(width, m - i - 1), F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
 
-    salted = buckets.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id", "band_hash"), F.lit(S))
-    )
-    subs = salted.groupBy("band", "band_hash", "salt").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ms")
-    )
-    subs = subs.select(
-        "band",
-        "band_hash",
-        F.size("ms").alias("ssz"),
-        F.element_at("ms", 1).alias("m0"),
-        "ms",
+    sizes = buckets.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
+    mega_keys = F.broadcast(
+        sizes.filter(F.col("bsz") > cfg.mega_bucket_cap).select("band", "band_hash")
     )
 
-    # oversized subgroups: their bucket is mega by implication — chain
-    # now so phase 2 never aggregates their members
-    big_chain = subs.filter(F.col("ssz") > mega).select(
-        F.explode(pair_structs(F.col("ms"), 0, W, True)).alias("p")
+    normal = buckets.join(mega_keys, ["band", "band_hash"], "left_anti")
+    normal_lists = (
+        normal.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter(F.size("members") >= 2)
     )
+    pairs = pairs_from_members(normal_lists, cfg.bucket_cap, cfg.chain_window)
 
-    per_bucket = (
-        subs.select(
-            "band",
-            "band_hash",
-            "ssz",
-            "m0",
-            F.when(F.col("ssz") <= mega, F.col("ms"))
-            .otherwise(F.expr("array()").cast("array<bigint>"))
-            .alias("ms_small"),
+    mega = buckets.join(mega_keys, ["band", "band_hash"], "left_semi")
+    salted = mega.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id", "band_hash"), F.lit(cfg.salt_buckets))
+    )
+    sub_lists = (
+        salted.groupBy("band", "band_hash", "salt")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+    )
+    # chain within every (bounded) subgroup; cap=0 forces chain mode
+    mega_chain = pairs_from_members(
+        sub_lists.filter(F.size("members") >= 2), 0, cfg.chain_window
+    )
+    # bridge: all pairs among the ≤ S subgroup minima per bucket
+    bridges = (
+        sub_lists.select(
+            "band", "band_hash", F.element_at("members", 1).alias("m0")
         )
         .groupBy("band", "band_hash")
-        .agg(
-            F.sum("ssz").alias("bsz"),
-            F.sort_array(F.collect_list("m0")).alias("m0s"),
-            F.collect_list("ms_small").alias("subs_members"),
-        )
-        .filter(F.col("bsz") >= 2)
+        .agg(F.sort_array(F.collect_list("m0")).alias("members"))
+        .filter(F.size("members") >= 2)
     )
-    normal_pairs = pair_structs(
-        F.array_sort(F.flatten("subs_members")), cap, W, False
-    )
-    mega_pairs = F.concat(
-        F.flatten(
-            F.transform("subs_members", lambda ms: pair_structs(ms, 0, W, True))
-        ),
-        pair_structs(F.col("m0s"), S, W, True),
-    )
-    bucket_pairs = per_bucket.select(
-        F.explode(
-            F.when(F.col("bsz") <= mega, normal_pairs).otherwise(mega_pairs)
-        ).alias("p")
-    )
+    mega_bridge = pairs_from_members(bridges, cfg.salt_buckets, cfg.chain_window)
 
-    all_pairs = bucket_pairs.unionByName(big_chain).select(
-        "p.a", "p.b", "p.forced"
+    all_pairs = (
+        pairs.withColumn("forced", F.lit(False))
+        .unionByName(mega_chain.withColumn("forced", F.lit(True)))
+        .unionByName(mega_bridge.withColumn("forced", F.lit(True)))
     )
     return all_pairs.groupBy("a", "b").agg(
         F.count("*").alias("n_bands"), F.max("forced").alias("forced")
