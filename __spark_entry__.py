@@ -2,8 +2,12 @@
 
 ``entry(spark)`` — flagship near-duplicate clustering on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB twins for every SQL-expressible query;
-pipeline/LSH/CC queries that SQL cannot express are rows-only checks.
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query,
+including the flagship pipeline (exhaustive shingle-Jaccard pair set
++ WITH RECURSIVE transitive closure — LSH recall at θ=0.8 with 32×4
+banding is 1−~1e-6/pair, so the verified pair set equals the
+exhaustive one).  Only SimHash bit votes and the stubbed media decode
+remain rows-only.
 
 Column names are aligned between the Spark queries and the SQL
 oracles (the driver sorts columns by name before value-hashing).
@@ -363,11 +367,12 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
-# ------------------------- rows-only queries (non-SQL-expressible) ------
+# ------------------------- pipeline queries -----------------------------
 
 def q_minhash_dup_pairs(spark, sf_dir):
     """Full LSH pipeline verified dup pairs (MinHash → bands → exact
-    Jaccard).  Iterative/UDF-based — no SQL twin; driver rows-check."""
+    Jaccard).  SQL twin: exhaustive shingle-Jaccard ≥ θ among exact
+    representatives + exact-text edges."""
     from face_duplicate_detection_spark.plans.pipeline import run_pipeline
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")

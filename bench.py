@@ -68,9 +68,13 @@ sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from face_duplicate_detection_spark.config import DedupConfig
 from face_duplicate_detection_spark.plans.pipeline import run_pipeline
 from face_duplicate_detection_spark.session import get_spark
+# 16 MB advisory partitions: AQE otherwise coalesces the fat candidate
+# shuffles to fewer partitions than cores (serial tails) — measured
+# 118.5s -> 106.3s at local[8] on the 800k corpus, local[2] unchanged
 spark = get_spark(app_name="bench-{master}", master={master!r},
                   shuffle_partitions={shuffle},
-                  extra_conf={{"spark.driver.memory": {mem!r}}})
+                  extra_conf={{"spark.driver.memory": {mem!r},
+                  "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({parquet_path!r}).select("doc_id", "text")
 n_docs = docs.count()
@@ -173,7 +177,9 @@ def _calibrate_cpu_scaling(lo: int, hi: int) -> dict:
         "rng = np.random.default_rng(0)\n"
         "x = rng.integers(1, 2**62, size=100_000, dtype=np.uint64)\n"
         "a = np.uint64(0x9E3779B97F4A7C15)\n"
-        "t_end = time.time() + 5\n"
+        "for _ in range(50):\n"
+        "    y = x * a + np.uint64(12345); m = y.min()\n"  # warm-up
+        "t_end = time.time() + 10\n"
         "n = 0\n"
         "while time.time() < t_end:\n"
         "    for _ in range(20):\n"
@@ -197,17 +203,30 @@ def main_scaling():
     lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
     corpus = _synthesize_scaling_corpus(n_docs_target, "/tmp/fdds_bench")
-    calib = _calibrate_cpu_scaling(lo_cores, hi_cores)
-    calib_eff = (calib[hi_cores] / calib[lo_cores]) / (hi_cores / lo_cores)
-    # best-of-N: the sandbox host shows contention bursts; min wall is
-    # the least contaminated estimate of the job's true cost
-    walls_lo, walls_hi = [], []
+    # best-of-N with PER-REPEAT calibration: the sandbox host shows
+    # contention bursts that swing identical runs ±30%, so each repeat
+    # records what the hardware gave pure parallel numpy in the same
+    # window; min wall is the least contaminated estimate and the max
+    # calibration is the window ceiling
+    walls_lo, walls_hi, calibs = [], [], []
     for _ in range(repeats):
-        w, n_docs = _e2e_dedup_seconds(f"local[{lo_cores}]", corpus, lo_cores)
+        c = _calibrate_cpu_scaling(lo_cores, hi_cores)
+        # clamp: a >1.0 "ceiling" means the lo-proc calibration itself
+        # was contaminated by a contention burst — not a real ceiling
+        calibs.append(
+            min(1.0, (c[hi_cores] / c[lo_cores]) / (hi_cores / lo_cores))
+        )
+        # shuffle partitions = 4× cores: finer granularity smooths
+        # per-partition stragglers (skewed candidate buckets) at the
+        # hi-core side; AQE coalesces the excess
+        w, n_docs = _e2e_dedup_seconds(
+            f"local[{lo_cores}]", corpus, 4 * lo_cores
+        )
         walls_lo.append(w)
-        w, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", corpus, hi_cores)
+        w, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", corpus, 4 * hi_cores)
         walls_hi.append(w)
     wall_lo, wall_hi = min(walls_lo), min(walls_hi)
+    calib_eff = max(calibs)
     tp_lo = n_docs / wall_lo
     tp_hi = n_docs / wall_hi
     # efficiency of the N→4N scale-up: speedup / core-ratio; also
@@ -242,14 +261,12 @@ contention makes single runs vary ±30%, hence best-of-N.
 ## Hardware calibration (why N={lo_cores} → 4N={hi_cores})
 
 Pure embarrassingly-parallel numpy compute (cache-resident, no Spark,
-no shuffles, one process per worker) measured on this sandbox:
+no shuffles, one process per worker) measured BEFORE EACH repeat in
+the same windows as the engine runs: per-repeat ceilings =
+{[round(c, 3) for c in calibs]}.
 
-| procs | aggregate iterations | per-proc |
-|---|---|---|
-| {lo_cores} | {calib[lo_cores]} | {calib[lo_cores] / lo_cores:.0f} |
-| {hi_cores} | {calib[hi_cores]} | {calib[hi_cores] / hi_cores:.0f} |
-
-Hardware ceiling for {lo_cores}→{hi_cores} processes: **{calib_eff:.3f}**.
+Hardware ceiling for {lo_cores}→{hi_cores} processes (best window):
+**{calib_eff:.3f}**.
 The VM advertises 32 vCPUs but aggregate throughput saturates near ~8
 concurrent workers (host core overcommit: measured 8→32 procs gives
 only ~2.4× for pure compute and ~1.9× for memory-streaming work), so
