@@ -55,16 +55,18 @@ def stream_src(spark, tmp_path_factory):
 
 
 def _drain(stream_df, ckpt, mode="append"):
+    spark = stream_df.sparkSession
+    name = f"mem_{abs(hash(ckpt)) % 10**9}"
     q = (
         stream_df.writeStream.format("memory")
-        .queryName(f"mem_{abs(hash(ckpt)) % 10**9}")
+        .queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return q.sparkSession.table(q.name)
+    return spark.table(name)
 
 
 def test_streaming_dedup_exact(spark, stream_src):
@@ -96,7 +98,11 @@ def test_windowed_ingest_stats(spark, stream_src):
 
 def test_running_source_totals_across_batches(spark, stream_src):
     src, root = stream_src
-    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .parquet(src)
+    )
     out = _drain(
         running_source_totals(stream), f"{root}/ck_state", mode="update"
     )
