@@ -83,11 +83,46 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+# multiplicative inverse of the (odd) base mod 2^64 — exists because
+# odd numbers are units of Z_2^64; lets the rolling hash be computed
+# from prefix sums instead of an n×k window matrix
+_SHINGLE_BASE_INV = _U64(pow(int(_SHINGLE_BASE), -1, 1 << 64))
+
+
+def _rolling_window_hashes(c: np.ndarray, k: int) -> np.ndarray:
+    """All stride-1 window hashes of byte array `c` (len n > k) in
+    O(n) time and O(n) memory traffic.
+
+    H[i] = offset + Σ_j c[i+j]·b^(k-1-j)
+         = offset + b^(i+k-1) · (T[i+k] − T[i]),  T[i] = Σ_{j<i} c[j]·b^(−j)
+
+    (mod 2^64; b odd ⇒ b⁻¹ exists).  The previous formulation
+    materialized an n×k sliding-window product matrix — ~16·k bytes of
+    DRAM traffic per text byte, the measured bandwidth bottleneck when
+    8 Arrow workers hash concurrently (k=64 in the span stage).  This
+    one touches ~6 n-length arrays regardless of k.  Returns MIXED
+    hashes, not deduped.
+    """
+    n = c.shape[0]
+    binv_pows = np.full(n, _SHINGLE_BASE_INV, dtype=_U64)
+    binv_pows[0] = _U64(1)
+    np.cumprod(binv_pows, out=binv_pows)                  # b^-i
+    t = np.empty(n + 1, dtype=_U64)
+    t[0] = _U64(0)
+    np.cumsum(c * binv_pows, out=t[1:])                   # T[i]
+    b_pows = np.full(n, _SHINGLE_BASE, dtype=_U64)
+    b_pows[0] = _U64(1)
+    np.cumprod(b_pows, out=b_pows)                        # b^i
+    w = t[k:] - t[: n - k + 1]
+    h = _SHINGLE_OFFSET + b_pows[k - 1 :] * w
+    return _mix64(h)
+
+
 def shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct k-char shingle hashes of one normalized text → uint64[].
 
-    Polynomial rolling hash over the byte sequence, fully vectorized:
-    h[i] = offset + Σ_j c[i+j] · base^(k-1-j)  (mod 2^64), then mixed.
+    Polynomial rolling hash over the byte sequence (O(n) prefix-sum
+    formulation, see :func:`_rolling_window_hashes`), then mixed.
     Texts shorter than k yield a single hash of the whole text.
     """
     data = text.encode("utf-8", errors="replace")
@@ -102,10 +137,7 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         h = np.array([_SHINGLE_OFFSET], dtype=_U64)
         h += (c * pows).sum(dtype=_U64)
         return _mix64(h)
-    windows = np.lib.stride_tricks.sliding_window_view(c, k)
-    pows = np.power(_SHINGLE_BASE, np.arange(k - 1, -1, -1, dtype=_U64))
-    h = _SHINGLE_OFFSET + (windows * pows).sum(axis=1, dtype=_U64)
-    return np.unique(_mix64(h))
+    return np.unique(_rolling_window_hashes(c, k))
 
 
 def minhash_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -230,7 +262,12 @@ def window_hash_positions(text: str, window: int) -> tuple[np.ndarray, np.ndarra
     if n < window:
         return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int32)
     c = np.frombuffer(data, dtype=np.uint8).astype(_U64)
-    windows = np.lib.stride_tricks.sliding_window_view(c, window)
-    pows = np.power(_SHINGLE_BASE, np.arange(window - 1, -1, -1, dtype=_U64))
-    h = _SHINGLE_OFFSET + (windows * pows).sum(axis=1, dtype=_U64)
-    return _mix64(h), np.arange(n - window + 1, dtype=np.int32)
+    if n == window:
+        pows = np.power(_SHINGLE_BASE, np.arange(n - 1, -1, -1, dtype=_U64))
+        h = np.array([_SHINGLE_OFFSET], dtype=_U64)
+        h += (c * pows).sum(dtype=_U64)
+        return _mix64(h), np.zeros(1, dtype=np.int32)
+    return (
+        _rolling_window_hashes(c, window),
+        np.arange(n - window + 1, dtype=np.int32),
+    )

@@ -64,6 +64,44 @@ def test_normalize_agrees_across_engines(spark):
     assert dk == py
 
 
+def test_rolling_hash_equals_direct_polynomial():
+    """The O(n) prefix-sum rolling formulation must produce the exact
+    same mixed hash per window as the direct Σ c[i+j]·b^(k-1-j)
+    definition (mod 2^64)."""
+    import numpy as np
+
+    from face_duplicate_detection_spark.functions.text_hashing import (
+        _mix64,
+        _rolling_window_hashes,
+        _SHINGLE_BASE,
+        _SHINGLE_OFFSET,
+    )
+
+    rng = np.random.default_rng(5)
+    for n, k in [(9, 8), (50, 8), (200, 64), (65, 64), (1000, 8)]:
+        c = rng.integers(0, 256, size=n).astype(np.uint64)
+        got = _rolling_window_hashes(c, k)
+        pows = np.power(_SHINGLE_BASE, np.arange(k - 1, -1, -1, dtype=np.uint64))
+        direct = np.empty(n - k + 1, dtype=np.uint64)
+        for i in range(n - k + 1):
+            direct[i] = _SHINGLE_OFFSET + (c[i : i + k] * pows).sum(
+                dtype=np.uint64
+            )
+        assert (got == _mix64(direct)).all(), (n, k)
+
+
+def test_window_hash_positions_consistent_with_window_hashes():
+    from face_duplicate_detection_spark.functions.text_hashing import (
+        window_hash_positions,
+    )
+    import numpy as np
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    h, p = window_hash_positions(text, 64)
+    assert (np.sort(np.unique(h)) == window_hashes(text, 64)).all()
+    assert p[0] == 0 and len(h) == len(p) == len(text.encode()) - 63
+
+
 def test_shingle_determinism_and_set_semantics():
     s1 = shingle_hashes("the quick brown fox", 8)
     s2 = shingle_hashes("the quick brown fox", 8)
