@@ -399,14 +399,24 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash Hamming ≤ h near-dup pairs over LSH candidates."""
+    """SimHash Hamming ≤ h near-dup pairs via exact pigeonhole
+    Hamming-LSH (64 bits → h+1 blocks; agreeing on ≥1 block is
+    NECESSARY for hamming ≤ h, so candidate recall is 1.0 by
+    construction).
+
+    Oracle-exact configuration: caps raised so in-bucket pair
+    generation is all-pairs — the result is then EXACTLY every
+    matchable doc pair with hamming(simhash) ≤ h, which the DuckDB
+    twin recomputes from scratch (rolling hash → splitmix64 → majority
+    vote, all in mod-2^64 HUGEINT arithmetic).  The capped/chained
+    scale path is covered by pytest."""
     from face_duplicate_detection_spark.functions.normalize import (
         matchable_docs,
         normalize_documents,
     )
     from face_duplicate_detection_spark.operators.lsh import (
         candidate_pairs,
-        explode_buckets,
+        explode_simhash_blocks,
     )
     from face_duplicate_detection_spark.operators.signatures import (
         compute_signatures,
@@ -416,9 +426,12 @@ def q_simhash_near_pairs(spark, sf_dir):
     docs = matchable_docs(
         normalize_documents(_docs(spark, sf_dir).select("doc_id", "text"), CFG)
     )
-    sigs = compute_signatures(docs, CFG)
-    cand = candidate_pairs(explode_buckets(sigs), CFG)
-    return simhash_near_pairs(cand, sigs, CFG)
+    cfg = CFG.with_(bucket_cap=4096, mega_bucket_cap=1_000_000)
+    sigs = compute_signatures(docs, cfg)
+    cand = candidate_pairs(explode_simhash_blocks(sigs, cfg), cfg)
+    return simhash_near_pairs(cand, sigs, cfg).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming"), "method"
+    )
 
 
 def q_long_span_pairs(spark, sf_dir):
@@ -585,8 +598,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_report": q_duplicate_report,
         "consolidated_report": q_consolidated_report,
         "summary_metrics": q_summary_metrics,
-        # rows-only (no SQL twin: SimHash bit votes / stubbed decode
-        # are not SQL-expressible)
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_features": q_media_features,
     }
@@ -667,6 +678,94 @@ def _closure_cte() -> str:
         ),
         labels AS (
           SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        )
+    """
+
+
+def _simhash_cte() -> str:
+    """DuckDB twin of the full SimHash pipeline
+    (text_hashing.shingle_hashes → simhash_batch): normalized UTF-8
+    bytes → stride-1 k-byte polynomial rolling hashes (mod 2^64) →
+    splitmix64 finalizer → distinct → per-bit majority vote.
+
+    Mod-2^64 arithmetic is emulated in HUGEINT (int128): every
+    multiply is split into 32-bit halves
+    (``lo(a)·b + ((hi(a)·b mod 2^32) << 32) mod 2^64``) so no
+    intermediate exceeds 2^96; xor/shift run natively on UBIGINT.
+    Produces ``simfp(doc_id, fp UBIGINT)`` over matchable docs with
+    ≥ 1 shingle — bit-identical to the numpy kernel (unit-tested in
+    tests/test_text_hashing.py, including non-ASCII)."""
+    k = CFG.shingle_k
+    base = 1099511628211
+    offset = 14695981039346656037
+    two64 = 1 << 64
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    bpow = "[" + ",".join(
+        f"CAST({pow(base, p, two64)} AS HUGEINT)" for p in range(k)
+    ) + "]"
+    pow2 = "[" + ",".join(f"CAST({1 << b} AS HUGEINT)" for b in range(64)) + "]"
+
+    def mulmod(x: str, c: int) -> str:
+        return (
+            f"CAST((((CAST({x} AS HUGEINT) % 4294967296) * {c}"
+            f" + (((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296)"
+            f" * 4294967296) % {two64}) AS UBIGINT)"
+        )
+
+    def xsr(x: str, s: int) -> str:
+        return f"xor({x}, ({x} >> {s}))"
+
+    return f"""
+        sim_matchable AS (
+          SELECT doc_id, {_NORM_SQL} AS t FROM documents
+          WHERE ({_STATUS_SQL}) = 'ok'
+        ),
+        sim_hx AS (
+          SELECT doc_id, hex(encode(t)) AS hs,
+                 octet_length(encode(t)) AS n,
+                 LEAST(octet_length(encode(t)), {k}) AS w
+          FROM sim_matchable WHERE len(t) >= 1
+        ),
+        sim_wins AS (
+          SELECT doc_id, hs, w, unnest(generate_series(0, n - w)) AS i
+          FROM sim_hx
+        ),
+        sim_bytes AS (
+          SELECT doc_id, i, w, hs,
+                 unnest(generate_series(0, w - 1)) AS j
+          FROM sim_wins
+        ),
+        sim_terms AS (
+          SELECT doc_id, i,
+                 CAST(CAST('0x' || substr(hs, CAST(2*(i+j)+1 AS INT), 2)
+                      AS INTEGER) AS HUGEINT) * ({bpow})[w - j] AS term
+          FROM sim_bytes
+        ),
+        sim_rawh AS (
+          SELECT doc_id,
+                 CAST(({offset} + sum(term)) % {two64} AS UBIGINT) AS h
+          FROM sim_terms GROUP BY doc_id, i
+        ),
+        sim_m1 AS (SELECT doc_id, {xsr('h', 30)} AS x FROM sim_rawh),
+        sim_m2 AS (SELECT doc_id, {mulmod('x', c1)} AS x FROM sim_m1),
+        sim_m3 AS (SELECT doc_id, {xsr('x', 27)} AS x FROM sim_m2),
+        sim_m4 AS (SELECT doc_id, {mulmod('x', c2)} AS x FROM sim_m3),
+        sim_m5 AS (SELECT doc_id, {xsr('x', 31)} AS x FROM sim_m4),
+        sim_sh AS (SELECT DISTINCT doc_id, x AS h FROM sim_m5),
+        sim_cnt AS (SELECT doc_id, count(*) AS nsh FROM sim_sh GROUP BY doc_id),
+        sim_bits AS (
+          SELECT s.doc_id, b.range AS bit,
+                 sum(CASE WHEN (s.h >> CAST(b.range AS INT)) & 1 = 1
+                          THEN 1 ELSE 0 END) AS votes
+          FROM sim_sh s, range(0, 64) b GROUP BY s.doc_id, b.range
+        ),
+        simfp AS (
+          SELECT sim_bits.doc_id,
+                 CAST(sum(CASE WHEN votes * 2 > sim_cnt.nsh
+                               THEN ({pow2})[bit + 1] ELSE 0 END)
+                   AS UBIGINT) AS fp
+          FROM sim_bits JOIN sim_cnt ON sim_bits.doc_id = sim_cnt.doc_id
+          GROUP BY sim_bits.doc_id
         )
     """
 
@@ -1065,6 +1164,19 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_docs,
                    count(DISTINCT cluster_id) AS n_clusters
             FROM cl
+        """,
+        # simhash_near_pairs: recompute every matchable doc's 64-bit
+        # SimHash from scratch in SQL (_simhash_cte) and take the
+        # exhaustive hamming ≤ h pair set — the engine's pigeonhole
+        # block-LSH with all-pairs caps returns exactly this set.
+        "simhash_near_pairs": f"""
+            WITH {_simhash_cte()}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming,
+                   'simhash' AS method
+            FROM simfp x JOIN simfp y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.fp, y.fp))
+                    <= {CFG.simhash_hamming_threshold}
         """,
         # media_features: regenerate the synthetic payloads (two md5 hex
         # digests per row), re-derive the digest-based fake features

@@ -42,6 +42,45 @@ def explode_buckets(signatures: DataFrame) -> DataFrame:
     )
 
 
+def explode_simhash_blocks(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Exact Hamming-LSH buckets: the 64-bit SimHash split into
+    ``hamming_threshold + 1`` contiguous bit blocks →
+    buckets(band, band_hash, doc_id), same shape as MinHash banding so
+    :func:`candidate_pairs` (census, caps, mega-bucket salting) is
+    reused unchanged.
+
+    Pigeonhole guarantee: two fingerprints within Hamming distance h
+    differ in at most h of the h+1 blocks, so they agree EXACTLY on at
+    least one block — candidate recall is 1.0 by construction, unlike
+    probabilistic MinHash banding.  This is the block-permuted
+    candidate scheme of Manku, Jain & Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling" (WWW 2007), restricted to one
+    blocking round (sufficient for exactness; extra permutations only
+    shrink bucket sizes).  Replaces the reference's all-pairs distance
+    scan (/root/reference/duplicate_face.py:64-75) for the
+    cosine-family predicate.
+
+    Docs with zero shingles carry simhash 0 (signatures.py sentinel)
+    and are excluded — empty docs must never bucket together.
+    """
+    n_blocks = cfg.simhash_hamming_threshold + 1
+    base, extra = divmod(64, n_blocks)
+    blocks = []
+    start = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        blk = F.shiftrightunsigned(F.col("simhash"), start)
+        if start + w < 64:
+            blk = blk.bitwiseAND(F.lit((1 << w) - 1))
+        blocks.append(F.struct(F.lit(i).alias("band"), blk.alias("band_hash")))
+        start += w
+    return (
+        signatures.filter(F.col("n_shingles") > 0)
+        .select("doc_id", F.explode(F.array(*blocks)).alias("blk"))
+        .select("blk.band", "blk.band_hash", "doc_id")
+    )
+
+
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """buckets → distinct candidate pairs (a < b) with band-collision
     counts.

@@ -109,3 +109,96 @@ def test_mega_path_does_not_change_small_buckets(spark):
     cfg = DedupConfig().with_(mega_bucket_cap=50, salt_buckets=4)
     got = _pairs(candidate_pairs(_buckets(spark, rows), cfg))
     assert {(5, 6), (5, 7), (6, 7)} <= got
+
+
+def test_simhash_block_pigeonhole_exact(spark):
+    """Pigeonhole Hamming-LSH completeness: with all-pairs caps, the
+    block-candidate → hamming-filter pair set equals the brute-force
+    hamming ≤ h pair set over every signature (recall 1.0 is a
+    theorem, not a tuning outcome)."""
+    import itertools
+
+    from face_duplicate_detection_spark.operators.lsh import (
+        explode_simhash_blocks,
+    )
+    from face_duplicate_detection_spark.operators.signatures import (
+        compute_signatures,
+    )
+    from face_duplicate_detection_spark.operators.verify import (
+        simhash_near_pairs,
+    )
+
+    import random
+
+    # long NON-repetitive base: SimHash vote margins scale with the
+    # count of distinct shingles, so single-char edits on a 2000-char
+    # unique text land at hamming 0-4 (straddling the h=3 boundary),
+    # while a repetitive base would dedup to ~100 distinct shingles
+    # and blow every edit past the threshold
+    rng = random.Random(7)
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango"
+    ).split()
+    base = " ".join(rng.choice(words) for _ in range(400))
+    texts = [base]
+    for i in range(6):
+        t = list(base)
+        t[50 + i * 31] = "x"
+        texts.append("".join(t))
+    for i in range(4):
+        texts.append(f"completely different document number {i} " * 12)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    cfg = DedupConfig().with_(bucket_cap=4096, mega_bucket_cap=1_000_000)
+    sigs = compute_signatures(docs, cfg).cache()
+    cand = candidate_pairs(explode_simhash_blocks(sigs, cfg), cfg)
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_near_pairs(cand, sigs, cfg).collect()
+    }
+
+    sims = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    h = cfg.simhash_hamming_threshold
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= h
+    }
+    assert want, "fixture produced no near pairs — test is vacuous"
+    assert got == want
+
+
+def test_simhash_blocks_partition_all_64_bits(spark):
+    """The h+1 blocks must tile the fingerprint exactly: each doc
+    emits h+1 buckets and reassembling (band, band_hash) recovers the
+    original simhash."""
+    from face_duplicate_detection_spark.operators.lsh import (
+        explode_simhash_blocks,
+    )
+
+    cfg = DedupConfig()
+    nb = cfg.simhash_hamming_threshold + 1
+    sig_rows = [(1, -6148914691236517206, 40), (2, 81985529216486895, 7)]
+    sigs = spark.createDataFrame(
+        sig_rows, ["doc_id", "simhash", "n_shingles"]
+    )
+    rows = explode_simhash_blocks(sigs, cfg).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["band_hash"]
+    base, extra = divmod(64, nb)
+    for doc_id, simhash, _ in sig_rows:
+        blocks = by_doc[doc_id]
+        assert len(blocks) == nb
+        acc, start = 0, 0
+        for i in range(nb):
+            w = base + (1 if i < extra else 0)
+            acc |= (blocks[i] & ((1 << w) - 1)) << start
+            start += w
+        assert acc == simhash & ((1 << 64) - 1)
+    # zero-shingle docs must not bucket
+    empt = spark.createDataFrame([(3, 0, 0)], ["doc_id", "simhash", "n_shingles"])
+    assert explode_simhash_blocks(empt, cfg).count() == 0
