@@ -2,12 +2,13 @@
 
 ``entry(spark)`` — flagship near-duplicate clustering on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB twins for every SQL-expressible query,
+``oracle_sql()`` — DuckDB twins for EVERY query (29/29 since round 3),
 including the flagship pipeline (exhaustive shingle-Jaccard pair set
 + WITH RECURSIVE transitive closure — LSH recall at θ=0.8 with 32×4
 banding is 1−~1e-6/pair, so the verified pair set equals the
-exhaustive one).  Only SimHash bit votes and the stubbed media decode
-remain rows-only.
+exhaustive one), the SimHash pipeline (mod-2^64 rolling hash +
+splitmix64 + majority vote emulated in HUGEINT arithmetic), and the
+media features (digest-derived payloads and components).
 
 Column names are aligned between the Spark queries and the SQL
 oracles (the driver sorts columns by name before value-hashing).
@@ -335,6 +336,33 @@ def q_events_by_user(spark, sf_dir):
     )
 
 
+def q_windowed_ingest_stats(spark, sf_dir):
+    """B5 streaming-native coverage, batch-replayed: the SAME
+    `windowed_ingest_stats` operator that runs under readStream +
+    watermark in tests/test_streaming.py executed over the events
+    parquet as a bounded input (withWatermark is a no-op on batch
+    plans, the tumbling event-time window/agg is identical code) —
+    giving the streaming operator a full DuckDB `time_bucket` value
+    oracle instead of pytest-only coverage (VERDICT r2 next-round #7).
+    Window bounds are formatted as UTC strings so both engines hash
+    the same canonical values."""
+    from face_duplicate_detection_spark.streaming.stateful import (
+        windowed_ingest_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_like = ev.select("ts", F.col("props").alias("text"))
+    out = windowed_ingest_stats(stream_like, ts_col="ts")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "n_docs",
+        "n_chars",
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped scan→filter→agg (S1/S3/A-family coverage)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -585,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "shared_window_pairs": q_shared_window_pairs,
         "events_by_user": q_events_by_user,
+        "windowed_ingest_stats": q_windowed_ingest_stats,
         "lineitem_pricing": q_lineitem_pricing,
         "ann_topk": q_ann_topk,
         "ann_topk_large": q_ann_topk_large,
@@ -956,6 +985,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM w x JOIN w y ON x.win = y.win AND x.doc_id < y.doc_id
+        """,
+        "windowed_ingest_stats": """
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(time_bucket(INTERVAL '10 minutes', ts)
+                              + INTERVAL '10 minutes',
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   count(*) AS n_docs,
+                   CAST(sum(len(coalesce(props, ''))) AS BIGINT) AS n_chars
+            FROM events
+            GROUP BY 1, 2
         """,
         "events_by_user": """
             SELECT user_id, count(*) AS n_events,

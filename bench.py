@@ -24,11 +24,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _minhash_dup_pairs_scale(spark, sf_dir):
+    """Production-config pair query for the bench: q_minhash_dup_pairs
+    switched to all-pairs caps in round 3 so its DuckDB twin is
+    provably exhaustive, but the bench keeps timing the DEFAULT
+    (capped/chained, skew-safe) candidate path — the same workload
+    rounds 1-2 measured, and the one a 10^12-doc run uses."""
+    from pyspark.sql import functions as F
+
+    from face_duplicate_detection_spark.config import DedupConfig
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    res = run_pipeline(docs, DedupConfig(), input_kind="documents")
+    return res.dup_pairs.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard"), "method"
+    )
+
+
 def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     """Headline queries; returns ({name: seconds}, docs_count)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    qs = dict(qs, minhash_dup_pairs=_minhash_dup_pairs_scale)
     headline = [
         "dedup_clusters",        # full pipeline: the product
         "minhash_dup_pairs",     # pipeline to verified pairs
@@ -130,7 +152,7 @@ def main_bench():
     # not process/compiler startup
     import __spark_entry__ as entrymod
 
-    warm_qs = entrymod.queries()
+    warm_qs = dict(entrymod.queries(), minhash_dup_pairs=_minhash_dup_pairs_scale)
     for name in [
         "dedup_clusters", "minhash_dup_pairs", "exact_dup_clusters",
         "token_stats", "shingle_jaccard_pairs", "ann_topk",

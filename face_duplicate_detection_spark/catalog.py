@@ -38,7 +38,13 @@ class StageCatalog:
     def is_committed(self, name: str) -> bool:
         return os.path.exists(self._manifest(name))
 
-    def write(self, name: str, df: DataFrame, meta: dict | None = None) -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: str | None = None,
+    ) -> None:
         """Snapshot-versioned write (the Iceberg-snapshot analogue).
 
         Each write lands in a fresh ``name@v{N}`` directory and the
@@ -46,12 +52,19 @@ class StageCatalog:
         rewritten *from a plan that reads its own previous version*
         (incremental batches do exactly that) without the
         overwrite-while-read corruption a plain overwrite causes.
+
+        ``partition_by`` hash-bucket layouts (e.g. the compacted
+        cluster state) let later readers partition-prune instead of
+        scanning the full table.
         """
         version = 1
         if self.is_committed(name):
             version = int(self.read_manifest(name).get("version", 0)) + 1
         path = os.path.join(self.root, f"{name}@v{version}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
         manifest = {
             "table": name,
             "path": path,
@@ -64,7 +77,13 @@ class StageCatalog:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self._manifest(name))
 
-    def append(self, name: str, df: DataFrame, meta: dict | None = None) -> None:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        path_key: str | None = None,
+    ) -> None:
         """Append-only commit (the Iceberg append-snapshot analogue).
 
         Only the NEW rows are written — the manifest accumulates the
@@ -73,6 +92,12 @@ class StageCatalog:
         micro-batch's signatures/buckets/edges never rewrites the
         accumulated state (north_rule: a 10^12-doc run's micro-batch
         cost must not scale with the corpus).
+
+        ``path_key`` makes the append REPLAY-IDEMPOTENT (ADVICE r2):
+        the data lands at the deterministic ``name@b{path_key}``
+        directory and is only added to the live-path list once — a
+        foreachBatch retry (at-least-once delivery) overwrites the same
+        files instead of double-appending duplicate state rows.
         """
         version = 1
         prior_paths: list[str] = []
@@ -80,12 +105,15 @@ class StageCatalog:
             m = self.read_manifest(name)
             version = int(m.get("version", 0)) + 1
             prior_paths = m.get("paths", [m["path"]])
-        path = os.path.join(self.root, f"{name}@v{version}")
+        if path_key is not None:
+            path = os.path.join(self.root, f"{name}@b{path_key}")
+        else:
+            path = os.path.join(self.root, f"{name}@v{version}")
         df.write.mode("overwrite").parquet(path)
         manifest = {
             "table": name,
             "path": path,
-            "paths": prior_paths + [path],
+            "paths": prior_paths + ([path] if path not in prior_paths else []),
             "version": version,
             "committed_at_unix": time.time(),
             **(meta or {}),
@@ -109,3 +137,36 @@ class StageCatalog:
     def invalidate(self, name: str) -> None:
         if self.is_committed(name):
             os.remove(self._manifest(name))
+
+    # ------------------------------------------------ batch ledger
+    # Exactly-once bookkeeping over at-least-once foreachBatch
+    # delivery (ADVICE r2): a batch is marked applied only AFTER all
+    # its state appends committed; the streaming handler skips batch
+    # ids already in the ledger, and a retry of a half-applied batch
+    # rewrites the same deterministic ``@b{key}`` paths (no-op).
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, "_applied_batches.json")
+
+    def _read_ledger(self) -> dict:
+        if not os.path.exists(self._ledger_path()):
+            return {"applied": {}}
+        with open(self._ledger_path()) as f:
+            return json.load(f)
+
+    def batch_applied(self, key: str) -> bool:
+        return str(key) in self._read_ledger()["applied"]
+
+    def applied_count(self) -> int:
+        return len(self._read_ledger()["applied"])
+
+    def mark_batch_applied(self, key: str, seq: int) -> None:
+        ledger = self._read_ledger()
+        ledger["applied"][str(key)] = {
+            "seq": seq,
+            "applied_at_unix": time.time(),
+        }
+        tmp = self._ledger_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f, indent=2)
+        os.replace(tmp, self._ledger_path())

@@ -248,20 +248,29 @@ def window_hash_positions(text: str, window: int) -> tuple[np.ndarray, np.ndarra
     """Positioned stride-1 window hashes: (hashes uint64[], pos int32[]).
 
     Unlike :func:`window_hashes` nothing is deduplicated — position i
-    holds the hash of bytes [i, i+window).  The long-span verify stage
-    detects exact common spans natively from runs of *consecutive
+    holds the hash of CODEPOINTS [i, i+window).  The long-span verify
+    stage detects exact common spans natively from runs of *consecutive
     aligned* positions: a common substring of length L ≥ window yields
     exactly L−window+1 matches on one diagonal (pos_b − pos_a const),
     so max-run + window − 1 == the true longest common substring —
     replacing the per-pair Python suffix-automaton LCS (VERDICT r1
-    "what's wrong" #5).  Positions are byte offsets of the UTF-8
-    encoding (== char offsets for ASCII corpora).
+    "what's wrong" #5).
+
+    Positions/windows are CODEPOINT offsets (UTF-32 view), NOT UTF-8
+    bytes (ADVICE r2): span_len and span_min_len are therefore measured
+    in characters everywhere — consistent with the automaton pytest
+    oracle and the character-based DuckDB ``substring`` twin even on
+    non-ASCII corpora.  (Candidate-stage anchors remain byte-windowed
+    — a common span of ≥ w chars always spans ≥ w bytes, so byte
+    anchors stay a complete candidate generator; the two stages never
+    join each other's hashes.)
     """
-    data = text.encode("utf-8", errors="replace")
-    n = len(data)
+    c = np.frombuffer(
+        text.encode("utf-32-le", errors="replace"), dtype=np.uint32
+    ).astype(_U64)
+    n = c.shape[0]
     if n < window:
         return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int32)
-    c = np.frombuffer(data, dtype=np.uint8).astype(_U64)
     if n == window:
         pows = np.power(_SHINGLE_BASE, np.arange(n - 1, -1, -1, dtype=_U64))
         h = np.array([_SHINGLE_OFFSET], dtype=_U64)

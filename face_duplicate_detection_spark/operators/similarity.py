@@ -86,11 +86,29 @@ def cosine_topk_bruteforce(
     )
 
 
+IVF_MAX_CENTROIDS = 16384   # collect stays ≤ ~16 MB at dim=128 float64
+
+
+def ivf_centroid_count(n_corpus: int) -> int:
+    """√n sizing rule (VERDICT r2 #8): with c centroids the per-query
+    scanned volume is ~n_probe·(n/c) and the assignment cost is ~c per
+    vector, so total work ∝ n·c + q·n_probe·n/c — minimized at
+    c ≈ √(n·n_probe·q/n) ≈ √n for q ≈ n.  Clamped to
+    [16, IVF_MAX_CENTROIDS]: the upper bound keeps the driver-side
+    centroid collect and the per-executor matmul closure small (at
+    10^9+ vectors a production IVF shards the centroid table instead
+    of growing it past ~16k — probe more cells, not more centroids).
+    """
+    import math
+
+    return max(16, min(IVF_MAX_CENTROIDS, int(math.isqrt(max(n_corpus, 1)))))
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -113,10 +131,17 @@ def cosine_topk_ivf(
     can't broadcast.  Recall < 1 when a true neighbor lives outside
     the probed cells; ``n_probe == n_centroids`` degenerates to exact.
     Output: query_id, neighbor_id, cosine (rounded 6), rank.
+
+    ``n_centroids=None`` applies the √n rule
+    (:func:`ivf_centroid_count`, bounded by ``IVF_MAX_CENTROIDS`` so
+    the centroid collect/closure never grows with the corpus).
     """
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
+    if n_centroids is None:
+        n_centroids = ivf_centroid_count(corpus.count())
+    n_probe = min(n_probe, n_centroids)
     cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(F.xxhash64(F.col("cid")))

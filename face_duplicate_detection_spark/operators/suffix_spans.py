@@ -123,13 +123,43 @@ def _rebalanced(docs: DataFrame) -> DataFrame:
     return inp
 
 
+def _cap_positions(
+    h: np.ndarray, p: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep only the first `cap` positions of each anchor value
+    (position order).  Normal text has multiplicity 1 and passes
+    through untouched; repetitive text is bounded so the per-pair
+    anchor equi-join cannot go quadratic (ADVICE r2 — see
+    DedupConfig.span_pos_cap)."""
+    n = h.shape[0]
+    if n <= cap:
+        return h, p
+    order = np.argsort(h, kind="stable")        # stable ⇒ pos order per value
+    hs = h[order]
+    idx = np.arange(n, dtype=np.int64)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(hs[1:], hs[:-1], out=new_grp[1:])
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    keep_sorted = (idx - grp_start) < cap
+    if keep_sorted.all():
+        return h, p
+    mask = np.zeros(n, dtype=bool)
+    mask[order[keep_sorted]] = True
+    return h[mask], p[mask]
+
+
 def emit_positioned_anchors(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """docs(doc_id, text) → (doc_id, anchor, pos): every stride-1
-    window hash with its byte offset — the verify stage's input.
+    """docs(doc_id, text) → (doc_id, anchor, pos): stride-1 window
+    hashes with their codepoint offsets — the verify stage's input,
+    multiplicity-capped per anchor value (:func:`_cap_positions`).
     Callers pre-prune `docs` to candidate doc_ids (semi-join), so this
     Arrow pass is linear in the candidate set, not the corpus."""
     w = cfg.span_window
     lc, fw = cfg.lowercase, cfg.fold_whitespace
+    # floor guarantees periodic spans ≥ span_min_len stay detectable:
+    # the first-occurrence run alone reaches cap + w − 1 ≥ span_min_len
+    cap = max(cfg.span_pos_cap, cfg.span_min_len - w + 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,6 +167,7 @@ def emit_positioned_anchors(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 norm = normalize_text(text, lc, fw)
                 h, p = window_hash_positions(norm, w)
+                h, p = _cap_positions(h, p, cap)
                 if h.size:
                     ids.append(np.full(h.size, doc_id, dtype=np.int64))
                     anchors.append(h.view(np.int64))

@@ -148,3 +148,69 @@ def test_winnowed_anchors_still_find_long_spans(spark, pages_500, cfg):
     decades = _qualifying_decades(norm, 200)
     found = sum(1 for d in decades if (d, d + 8) in got or (d + 8, d) in got)
     assert found / len(decades) >= 0.9
+
+
+def test_cap_positions_kernel():
+    import numpy as np
+
+    from face_duplicate_detection_spark.operators.suffix_spans import (
+        _cap_positions,
+    )
+
+    # multiplicity 1: untouched
+    h = np.arange(10, dtype=np.uint64)
+    p = np.arange(10, dtype=np.int32)
+    h2, p2 = _cap_positions(h, p, 3)
+    assert (h2 == h).all() and (p2 == p).all()
+    # repeated values: first `cap` positions kept, order preserved
+    h = np.array([7, 5, 7, 7, 5, 7], dtype=np.uint64)
+    p = np.arange(6, dtype=np.int32)
+    h2, p2 = _cap_positions(h, p, 2)
+    assert list(p2) == [0, 1, 2, 4]              # 7@0, 5@1, 7@2, 5@4
+    assert list(h2) == [7, 5, 7, 5]
+
+
+def test_periodic_docs_bounded_join_still_detected(spark, cfg):
+    """ADVICE r2: two large periodic docs (every window hash repeated
+    thousands of times) must not blow the anchor equi-join up to
+    O(n²) rows — the multiplicity cap bounds it — while the shared
+    span is still reported at ≥ span_min_len (lower-bound semantics
+    when the cap binds)."""
+    n = 6000
+    a = "ab" * (n // 2)
+    b = "ab" * (n // 2) + " trailing difference xyz"
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    c = cfg.with_(span_min_len=256, span_pos_cap=256)
+    # uncapped, this pair alone would emit ~ (n/2)² ≈ 9M join rows per
+    # anchor value; capped it is ≤ (2 values)·cap² = 131k
+    spans = long_span_pairs(docs, c, winnow=False).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["span_len"] >= 256
+
+
+def test_non_ascii_span_len_in_chars(spark, cfg):
+    """span_len counts characters on non-ASCII text (ADVICE r2): the
+    shared span below is 300 chars but ~2x as many UTF-8 bytes."""
+    shared = ("ünïcödé tèxt shäréd vérbatim açross dòcs ☃ " * 10)[:300]
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one %s suffix alpha" % shared),
+            (2, "a different beginning %s and ending" % shared),
+        ],
+        ["doc_id", "text"],
+    )
+    c = cfg.with_(span_min_len=200)
+    rows = long_span_pairs(docs, c, winnow=False).collect()
+    assert len(rows) == 1
+    got = rows[0]["span_len"]
+    from face_duplicate_detection_spark.functions.text_hashing import (
+        normalize_text,
+    )
+
+    na = normalize_text("prefix one %s suffix alpha" % shared)
+    nb = normalize_text("a different beginning %s and ending" % shared)
+    oracle = _lcs_len(na, nb)
+    assert got == oracle
+    assert abs(got - 300) <= 2

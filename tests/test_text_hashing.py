@@ -199,3 +199,21 @@ def test_window_hashes_shared_span():
     # all windows fully inside the span are shared; the span repeats a
     # 62-char phrase, so distinct shared windows ≈ the period length
     assert np.intersect1d(w1, w2).size >= 40
+
+
+def test_window_hash_positions_codepoint_units():
+    """Positions/windows are codepoint-based (ADVICE r2): span lengths
+    are measured in characters even for non-ASCII text, matching the
+    automaton oracle and the character-based SQL substring twin."""
+    from face_duplicate_detection_spark.functions.text_hashing import (
+        window_hash_positions,
+    )
+
+    text = "naïve café — unicode ☃ snowman résumé ünïcödé " * 4
+    h, p = window_hash_positions(text, 16)
+    assert len(h) == len(text) - 16 + 1          # chars, not UTF-8 bytes
+    assert len(text.encode()) > len(text)        # fixture is truly non-ASCII
+    # identical windows at different offsets hash identically
+    i = text.index("unicode ☃", 1)
+    j = text.index("unicode ☃", i + 1)
+    assert h[i] == h[j]
