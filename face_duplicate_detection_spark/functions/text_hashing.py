@@ -157,6 +157,17 @@ def minhash_batch(
     ``np.minimum.reduceat`` over per-doc offsets — no per-shingle Python.
     Empty docs get the all-max sentinel signature (they never collide).
     Returns int64 (num_docs × num_perms) — signed view for Spark LongType.
+
+    The 128-perm pass runs in **uint32**: each 64-bit shingle hash is
+    folded to 32 bits once (``(s · MIX) >> 32``), then multiply-shift
+    permutations operate in Z_2^32 (``a32`` odd ⇒ bijective).  The hot
+    ``hv`` matrix halves (4 bytes/cell), which halves the DRAM traffic
+    this kernel is bound by when 8 Arrow workers run concurrently —
+    microbenched 1.8-2.0× faster at BOTH 2 and 8 workers on this
+    hardware.  MinHash semantics are untouched (any universal hash
+    family per permutation works); the fold costs one extra pass and
+    per-doc 32-bit collisions (~sets²/2³³ ≈ 3e-5 per doc) perturb the
+    estimator far below the banding S-curve's own slack.
     """
     num_perms = a.shape[0]
     n_docs = len(shingle_sets)
@@ -165,13 +176,17 @@ def minhash_batch(
     nonempty = np.flatnonzero(lens > 0)
     if nonempty.size == 0:
         return out.view(np.int64)
+    # deterministic 32-bit multiply-shift params derived from the
+    # seeded 64-bit ones (a32 forced odd = unit of Z_2^32)
+    a32 = (a >> _U64(33)).astype(np.uint32) | np.uint32(1)
+    b32 = (b >> _U64(32)).astype(np.uint32)
     # chunk docs so the (perms × shingles) matrix stays cache-resident
     # (~16 MB ≈ L2+L3 slice: measured 3-4× faster than DRAM-sized
     # chunks on this class of hardware) and REUSE one pre-touched
     # buffer across chunks — fresh large allocations pay first-touch
     # page-fault cost every call, which dominates at scale
-    max_shingles = max(1, (16 << 20) // (8 * num_perms))
-    buf = np.zeros((num_perms, max_shingles), dtype=_U64)
+    max_shingles = max(1, (16 << 20) // (4 * num_perms))
+    buf = np.zeros((num_perms, max_shingles), dtype=np.uint32)
     i = 0
     while i < nonempty.size:
         j = i
@@ -181,12 +196,13 @@ def minhash_batch(
             j += 1
         idx = nonempty[i:j]
         concat = np.concatenate([shingle_sets[d] for d in idx])
-        if concat.size <= max_shingles:
-            hv = buf[:, : concat.size]
-            np.multiply(a[:, None], concat[None, :], out=hv)
+        c32 = ((concat * _MIX_MUL) >> _U64(32)).astype(np.uint32)
+        if c32.size <= max_shingles:
+            hv = buf[:, : c32.size]
+            np.multiply(a32[:, None], c32[None, :], out=hv)
         else:  # single doc larger than the buffer
-            hv = np.multiply(a[:, None], concat[None, :])
-        hv += b[:, None]
+            hv = np.multiply(a32[:, None], c32[None, :])
+        hv += b32[:, None]
         offsets = np.zeros(idx.size, dtype=np.int64)
         np.cumsum(lens[idx][:-1], out=offsets[1:])
         out[idx] = np.minimum.reduceat(hv, offsets, axis=1).T    # docs × perms

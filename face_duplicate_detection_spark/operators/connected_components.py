@@ -114,41 +114,55 @@ def connected_components(
         .distinct()
     )
     e = e.repartition("hi").localCheckpoint(eager=eager)
+    spark = e.sparkSession
+    saved_shuffle = None
     if eager:
         # size the iteration shuffles to the actual edge count — dup
         # graphs are usually tiny relative to the corpus, and 32-task
         # jobs over a few thousand edges are pure scheduler overhead
         n_edges = e.count()
         parts = max(1, min(
-            e.sparkSession.sparkContext.defaultParallelism,
+            spark.sparkContext.defaultParallelism,
             n_edges // 50_000 + 1,
         ))
         e = e.repartition(parts, "hi").localCheckpoint(eager=True)
+        # ALSO pin the per-round groupBy/join shuffles to that size for
+        # the duration of the loop: the session-level
+        # spark.sql.shuffle.partitions (32+) makes every star round
+        # schedule mostly-empty tasks, a fixed per-round driver cost
+        # that does not parallelize (the profiled CC stage ran SLOWER
+        # at local[8] than local[2] on an 800k corpus before this)
+        saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     prev_sig: tuple | None = None
     converged = False
-    for _ in range(max_iterations):
-        obs = Observation()
-        new_e = (
-            _star_round(e)
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                # xor-fold of per-edge hashes: order-insensitive SET
-                # fingerprint (edges are distinct), no ANSI overflow
-                F.bit_xor(F.xxhash64("hi", "lo")).alias("hsum"),
+    try:
+        for _ in range(max_iterations):
+            obs = Observation()
+            new_e = (
+                _star_round(e)
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    # xor-fold of per-edge hashes: order-insensitive SET
+                    # fingerprint (edges are distinct), no ANSI overflow
+                    F.bit_xor(F.xxhash64("hi", "lo")).alias("hsum"),
+                )
+                .localCheckpoint(eager=eager)
             )
-            .localCheckpoint(eager=eager)
-        )
-        if not eager:
-            new_e.count()  # lazy mode: force the job so obs resolves
-        e = new_e
-        got = obs.get
-        sig = (got["n"], got["hsum"])
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+            if not eager:
+                new_e.count()  # lazy mode: force the job so obs resolves
+            e = new_e
+            got = obs.get
+            sig = (got["n"], got["hsum"])
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+    finally:
+        if saved_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
 
     if not converged:
         raise RuntimeError(
