@@ -160,6 +160,16 @@ class StageCatalog:
     def applied_count(self) -> int:
         return len(self._read_ledger()["applied"])
 
+    def max_applied_seq(self) -> int:
+        """Highest batch_seq ever recorded in the ledger (0 if none).
+
+        Seeding the next batch_seq from the MAX rather than the COUNT
+        keeps sequence numbers collision-free even if the ledger and
+        the delta log ever disagree (ADVICE r3: a delta log written
+        before the ledger existed must not be re-numbered from 1)."""
+        applied = self._read_ledger()["applied"]
+        return max((int(v.get("seq", 0)) for v in applied.values()), default=0)
+
     def mark_batch_applied(self, key: str, seq: int) -> None:
         ledger = self._read_ledger()
         ledger["applied"][str(key)] = {

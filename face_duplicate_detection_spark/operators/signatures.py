@@ -38,6 +38,15 @@ from face_duplicate_detection_spark.functions.text_hashing import (
     simhash_batch,
 )
 
+# Value-domain version of the signature columns.  Bumped whenever the
+# hash kernels change what a persisted signature MEANS (e.g. the r3
+# 64-bit → uint32 MinHash switch): signatures written under a
+# different format can never band-collide with newly computed ones, so
+# resuming an old state catalog would silently disable cross-batch dup
+# detection (ADVICE r3).  The incremental state stamps this into the
+# state_signatures manifest and refuses a mismatched resume.
+SIGNATURE_FORMAT = "shingle64-minhash-u32-simhash64-v2"
+
 SIGNATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
