@@ -573,6 +573,129 @@ def q_summary_metrics(spark, sf_dir):
     return summary_metrics(res.clusters)
 
 
+# --------------------- production scale-path stress corpus -------------
+
+# Boilerplate-heavy corpus engineered so the DEFAULT candidate caps
+# actually bind (VERDICT r3 next-round #1): group 0 (200 near-identical
+# variants) exceeds the lowered mega_bucket_cap → salted subgroup
+# chains + forced bridge pairs; groups 1-2 (60 docs) exceed
+# bucket_cap=16 → chain pairing; group 3 (12 docs) stays on the
+# all-pairs path; 40 fillers are mutual non-dups.  The SAME rows are
+# generated Python-side for Spark and expression-side in the DuckDB
+# oracle (verified equal by the value-hash gate).
+_STRESS_GROUP_SIZES = (200, 60, 60, 12)
+
+
+def _stress_body(g: int) -> str:
+    return " ".join(f"g{g}w{j:02d}" for j in range(40))
+
+
+def _stress_rows():
+    rows = []
+    i = 0
+    for g, sz in enumerate(_STRESS_GROUP_SIZES):
+        for _ in range(sz):
+            rows.append((2_000_000 + i, f"{_stress_body(g)} v{i}"))
+            i += 1
+    for j in range(40):
+        rows.append((
+            3_000_000 + j,
+            f"filler {j} document {j * 7 + 1} about {j * 13 + 2} subject "
+            f"{j * 29 + 3} content {j * 31 + 4} tokens {j * 37 + 5} end",
+        ))
+    return rows
+
+
+def q_dedup_clusters_chained(spark, sf_dir):
+    """Clusters under the PRODUCTION skew path — the code a 100 TB run
+    executes: bucket_cap=16 (default) → chain pairing inside every
+    >cap band bucket; mega_bucket_cap lowered to 64 so the salted
+    subgroup-chain + forced-bridge path triggers on the 200-doc
+    boilerplate group at test scale (the threshold is scaled down, the
+    code path is the default one); winnowing does not apply (suffix
+    stage not involved).  The oracle is an exhaustive shingle-Jaccard
+    edge set + WITH RECURSIVE closure: equality proves chain pairing
+    and salted bridges preserve cluster connectivity exactly where the
+    raised-cap flagship rows prove only the all-pairs configs."""
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(_stress_rows(), "doc_id long, text string")
+    cfg = CFG.with_(mega_bucket_cap=64, salt_buckets=8)
+    res = run_pipeline(docs, cfg, input_kind="documents")
+    return res.clusters.select("doc_id", "cluster_id", "is_canonical")
+
+
+def q_lineage_stats(spark, sf_dir):
+    """A1/B4 lineage surface: per-stage row totals from the lineage
+    table the pipeline commits alongside its stage tables (per-
+    partition rows aggregated to per-stage so the result is stable
+    under partitioning)."""
+    import tempfile
+
+    from face_duplicate_detection_spark.catalog import StageCatalog
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cfg = CFG.with_(bucket_cap=4096, mega_bucket_cap=1_000_000)
+    with tempfile.TemporaryDirectory() as d:
+        cat = StageCatalog(d)
+        run_pipeline(docs, cfg, input_kind="documents", catalog=cat)
+        out = (
+            cat.read(spark, "lineage")
+            .groupBy("stage")
+            .agg(F.sum("rows_in").alias("rows_in"))
+            .orderBy("stage")
+        )
+        out = out.cache()
+        out.count()   # materialize before the tmpdir vanishes
+        return out
+
+
+def q_incremental_batch_ledger(spark, sf_dir):
+    """B3 resume surface: three keyed batches + a replay of an
+    already-applied key.  Returns per-batch (batch_seq, n_new_sigs)
+    from the committed inc_metrics state — exactly three rows iff the
+    replay was a no-op and each batch was applied exactly once."""
+    import tempfile
+
+    from face_duplicate_detection_spark.catalog import StageCatalog
+    from face_duplicate_detection_spark.streaming.incremental import (
+        incremental_batch,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cat = StageCatalog(d)
+        for k in range(3):
+            incremental_batch(
+                docs.filter(F.col("doc_id") % 3 == k),
+                CFG,
+                cat,
+                spark,
+                with_metrics=True,
+                batch_key=f"b{k}",
+            )
+        # at-least-once delivery: replay of an applied key is a no-op
+        incremental_batch(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            CFG,
+            cat,
+            spark,
+            with_metrics=True,
+            batch_key="b0",
+        )
+        out = (
+            cat.read(spark, "inc_metrics")
+            .select("batch_seq", "n_new_sigs")
+            .orderBy("batch_seq")
+        )
+        out = out.cache()
+        out.count()
+        return out
+
+
 def q_incremental_dedup(spark, sf_dir):
     """B2 cross-batch carried state: two incremental batches produce
     the same clusters as one full run (returns the final state)."""
@@ -629,6 +752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_metrics": q_summary_metrics,
         "simhash_near_pairs": q_simhash_near_pairs,
         "media_features": q_media_features,
+        # production scale-path + lineage/ledger surfaces (round 4)
+        "dedup_clusters_chained": q_dedup_clusters_chained,
+        "lineage_stats": q_lineage_stats,
+        "incremental_batch_ledger": q_incremental_batch_ledger,
     }
 
 
@@ -1264,6 +1391,87 @@ def oracle_sql() -> dict[str, str]:
                    round(c1, 5) AS f1,
                    fp AS feature_fp
             FROM agg
+        """,
+        # dedup_clusters_chained: regenerate the stress corpus with
+        # DuckDB expressions (same f-string arithmetic as _stress_rows),
+        # take the EXHAUSTIVE shingle-Jaccard >= θ edge set, and close
+        # it transitively — the engine's chained/salted candidate graph
+        # must yield identical components.
+        "dedup_clusters_chained": f"""
+            WITH RECURSIVE gdocs AS (
+              SELECT CAST(2000000 + i AS BIGINT) AS doc_id,
+                     CASE WHEN i < {_STRESS_GROUP_SIZES[0]}
+                            THEN '{_stress_body(0)}'
+                          WHEN i < {sum(_STRESS_GROUP_SIZES[:2])}
+                            THEN '{_stress_body(1)}'
+                          WHEN i < {sum(_STRESS_GROUP_SIZES[:3])}
+                            THEN '{_stress_body(2)}'
+                          ELSE '{_stress_body(3)}'
+                     END || ' v' || i AS text
+              FROM (SELECT unnest(generate_series(0,
+                     {sum(_STRESS_GROUP_SIZES) - 1})) AS i)
+            ),
+            fdocs AS (
+              SELECT CAST(3000000 + j AS BIGINT) AS doc_id,
+                     'filler ' || j || ' document ' || (j*7+1)
+                       || ' about ' || (j*13+2) || ' subject ' || (j*29+3)
+                       || ' content ' || (j*31+4) || ' tokens ' || (j*37+5)
+                       || ' end' AS text
+              FROM (SELECT unnest(generate_series(0, 39)) AS j)
+            ),
+            sdocs AS (
+              SELECT * FROM gdocs UNION ALL SELECT * FROM fdocs
+            ),
+            ssh AS (
+              SELECT DISTINCT doc_id,
+                     substring(text, i, {CFG.shingle_k}) AS s
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1,
+                         len(text) - {CFG.shingle_k} + 1)) AS i
+                FROM sdocs
+              )
+            ),
+            ssizes AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+            sinter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM ssh x JOIN ssh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT a, b FROM sinter
+              JOIN ssizes sa ON sa.doc_id = a
+              JOIN ssizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i)
+                    >= {CFG.jaccard_threshold}
+            ),
+            {_closure_cte()}
+            SELECT d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(l.cluster_id, d.doc_id) = d.doc_id)
+                     AS is_canonical
+            FROM sdocs d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        """,
+        "lineage_stats": f"""
+            WITH {_dedup_cte()}
+            SELECT 'docs_normalized' AS stage,
+                   CAST(count(*) AS BIGINT) AS rows_in FROM documents
+            UNION ALL
+            SELECT 'dup_pairs' AS stage,
+                   CAST((SELECT count(*) FROM mh_pairs)
+                        + (SELECT count(*) FROM exact_edges) AS BIGINT)
+            UNION ALL
+            SELECT 'signatures' AS stage,
+                   CAST((SELECT count(*) FROM reps) AS BIGINT)
+            ORDER BY stage
+        """,
+        "incremental_batch_ledger": """
+            SELECT CAST(k + 1 AS BIGINT) AS batch_seq,
+                   CAST((SELECT count(*) FROM documents
+                         WHERE text IS NOT NULL AND doc_id % 3 = k)
+                     AS BIGINT) AS n_new_sigs
+            FROM (SELECT unnest(generate_series(0, 2)) AS k)
+            ORDER BY batch_seq
         """,
         "ann_topk": """
             WITH scored AS (
