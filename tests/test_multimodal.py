@@ -1,12 +1,18 @@
 """Multimodal plumbing tests: binary payload columns, Arrow-batched
-feature extraction (stubbed decode), dedup over media features."""
+feature extraction, real pure-Python PPM/BMP decode (VERDICT r3 #4),
+dedup over media features."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from face_duplicate_detection_spark.operators.multimodal import (
     decode_image,
+    encode_bmp,
+    encode_ppm,
     extract_features,
+    image_feature,
+    synthesize_image_media,
     synthesize_media,
 )
 
@@ -16,9 +22,61 @@ def media(spark):
     return synthesize_media(spark, 200, seed=42, dup_every=5).cache()
 
 
-def test_decode_is_stubbed():
+def test_decode_compressed_formats_still_raise():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def _arr(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_decode_ppm_roundtrip():
+    arr = _arr(6, 9)
+    out = decode_image(encode_ppm(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_decode_ppm_with_comment_header():
+    arr = _arr(2, 3)
+    payload = b"P6\n# a comment\n3 2\n255\n" + arr.tobytes()
+    np.testing.assert_array_equal(decode_image(payload), arr)
+
+
+def test_decode_bmp_roundtrip_with_padding():
+    # width 3 → 9-byte rows padded to 12: exercises stride handling
+    arr = _arr(4, 3, seed=1)
+    out = decode_image(encode_bmp(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_decode_bmp_roundtrip_aligned():
+    arr = _arr(5, 4, seed=2)   # 12-byte rows, no padding
+    out = decode_image(encode_bmp(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_unstubbed_decode_feature_path(spark):
+    """End to end WITHOUT the stub: synthesize real PPM/BMP payloads,
+    decode + pool in the Arrow path, planted byte-identical dups get
+    identical features; PPM and BMP encodings of the same pixels give
+    the same feature."""
+    media = synthesize_image_media(spark, 60, seed=7, dup_every=5)
+    feats = {
+        r["media_id"]: tuple(r["feature"])
+        for r in extract_features(media, use_stub=False).collect()
+    }
+    assert len(feats) == 60
+    for i in range(5, 60, 5):
+        assert feats[i] == feats[i - 1], f"planted dup {i} diverged"
+    # non-dup neighbors differ
+    assert feats[1] != feats[2]
+    # format-independence of the feature: same pixels via PPM and BMP
+    arr = _arr(8, 12, seed=3)
+    f_ppm = image_feature(decode_image(encode_ppm(arr)))
+    f_bmp = image_feature(decode_image(encode_bmp(arr)))
+    np.testing.assert_array_equal(f_ppm, f_bmp)
 
 
 def test_media_schema_and_counts(media):

