@@ -109,7 +109,9 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     return timings, docs
 
 
-def _e2e_dedup_seconds(master: str, parquet_path: str, shuffle: int) -> tuple[float, int]:
+def _e2e_dedup_seconds(
+    master: str, parquet_path: str, shuffle: int, pin_cpus: str | None = None
+) -> tuple[float, int]:
     """One cold end-to-end dedup run in a FRESH subprocess.
 
     A subprocess per measurement matters twice over: (a) the first
@@ -117,6 +119,16 @@ def _e2e_dedup_seconds(master: str, parquet_path: str, shuffle: int) -> tuple[fl
     later session, so per-run memory settings silently wouldn't apply;
     (b) each config gets an honest cold JVM instead of inheriting the
     previous run's grown heap and JIT state.
+
+    ``pin_cpus`` (e.g. ``"0-1"``) wraps the run in ``taskset -c``,
+    confining the WHOLE process tree — JVM task threads, GC, shuffle
+    IO, codegen, and the Python workers — to that core set.  Without
+    it, ``local[N]`` means N *task slots* while every auxiliary thread
+    runs on spare host cores for free, so the lo side of an N→4N
+    comparison gets proportionally more hidden extra compute than the
+    hi side and the measured efficiency UNDERSTATES the engine.  A
+    real N-core executor confines all of those threads to N cores —
+    pinning is the faithful cluster emulation.
     """
     import subprocess
 
@@ -149,9 +161,10 @@ res.clusters.count()
 print(json.dumps({{"wall": time.time() - t0, "n_docs": n_docs}}))
 spark.stop()
 """
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
-    )
+    argv = [sys.executable, "-c", code]
+    if pin_cpus is not None:
+        argv = ["taskset", "-c", pin_cpus] + argv
+    out = subprocess.run(argv, capture_output=True, text=True, check=True)
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     return payload["wall"], payload["n_docs"]
 
@@ -221,7 +234,7 @@ def main_bench():
     spark.stop()
 
 
-def _calibrate_cpu_scaling(lo: int, hi: int) -> dict:
+def _calibrate_cpu_scaling(lo: int, hi: int, pin: bool = False) -> dict:
     """Measure what the sandbox hardware itself gives pure
     embarrassingly-parallel numpy work at both process counts.
 
@@ -250,10 +263,13 @@ def _calibrate_cpu_scaling(lo: int, hi: int) -> dict:
     )
     out = {}
     for procs in (lo, hi):
-        ps = [
-            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
-            for _ in range(procs)
-        ]
+        ps = []
+        for i in range(procs):
+            argv = [sys.executable, "-c", code]
+            if pin:
+                # one worker per core, same sets the engine runs on
+                argv = ["taskset", "-c", str(i)] + argv
+            ps.append(subprocess.Popen(argv, stdout=subprocess.PIPE))
         out[procs] = sum(int(p.communicate()[0]) for p in ps)
     return out
 
@@ -263,6 +279,9 @@ def main_scaling():
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+    pin = os.environ.get("SPARK_GRAFT_PIN", "0") == "1"
+    pin_lo = f"0-{lo_cores - 1}" if pin else None
+    pin_hi = f"0-{hi_cores - 1}" if pin else None
     corpus = _synthesize_scaling_corpus(n_docs_target, "/tmp/fdds_bench")
     # best-of-N with PER-REPEAT calibration: the sandbox host shows
     # contention bursts that swing identical runs ±30%, so each repeat
@@ -271,7 +290,7 @@ def main_scaling():
     # calibration is the window ceiling
     walls_lo, walls_hi, calibs = [], [], []
     for _ in range(repeats):
-        c = _calibrate_cpu_scaling(lo_cores, hi_cores)
+        c = _calibrate_cpu_scaling(lo_cores, hi_cores, pin=pin)
         # clamp: a >1.0 "ceiling" means the lo-proc calibration itself
         # was contaminated by a contention burst — not a real ceiling
         calibs.append(
@@ -281,10 +300,12 @@ def main_scaling():
         # per-partition stragglers (skewed candidate buckets) at the
         # hi-core side; AQE coalesces the excess
         w, n_docs = _e2e_dedup_seconds(
-            f"local[{lo_cores}]", corpus, 4 * lo_cores
+            f"local[{lo_cores}]", corpus, 4 * lo_cores, pin_cpus=pin_lo
         )
         walls_lo.append(w)
-        w, _ = _e2e_dedup_seconds(f"local[{hi_cores}]", corpus, 4 * hi_cores)
+        w, _ = _e2e_dedup_seconds(
+            f"local[{hi_cores}]", corpus, 4 * hi_cores, pin_cpus=pin_hi
+        )
         walls_hi.append(w)
     wall_lo, wall_hi = min(walls_lo), min(walls_hi)
     calib_eff = max(calibs)
@@ -341,6 +362,7 @@ generation — see README scale design).
 Methodology: bench.py --scaling synthesizes the corpus once, then runs
 the identical job in fresh subprocesses (one cold JVM per measurement,
 best-of-N repeats), warm-up excluded from timing.
+CPU pinning: {"ON — each run's WHOLE process tree (JVM task/GC/shuffle/codegen threads + Python workers) is confined with taskset to exactly its core budget (lo=" + str(pin_lo) + ", hi=" + str(pin_hi) + "), the faithful emulation of an N-core executor; unpinned local[N] gives the lo side proportionally more hidden auxiliary-thread compute and understates scaling" if pin else "OFF — local[N] bounds task slots only; auxiliary JVM threads run on spare host cores"}.
 """
         )
     print(

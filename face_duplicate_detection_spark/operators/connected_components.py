@@ -163,6 +163,17 @@ def connected_components(
             converged = True
             break
         prev_sig = sig
+        if parts is not None:
+            # resize the NEXT round to the observed edge count: star
+            # rounds shrink the edge set geometrically, and keeping the
+            # round-1 partition count schedules ever-emptier tasks — a
+            # fixed per-round cost that made the CC stage anti-scale
+            # (9.3 s @2 cores → 12.2 s @8 on the 800k corpus before
+            # this; the observation is free, no extra job)
+            parts = max(1, min(
+                spark.sparkContext.defaultParallelism,
+                int(got["n"]) // 50_000 + 1,
+            ))
 
     if not converged:
         raise RuntimeError(

@@ -71,6 +71,7 @@ def run_pipeline(
     input_kind: str = "documents",   # "documents" | "pages" | "normalized"
     catalog: StageCatalog | None = None,
     spark: SparkSession | None = None,
+    timings: dict | None = None,     # stage -> seconds (materialize incl.)
 ) -> PipelineResult:
     """Run (or resume) the full dedup pipeline.
 
@@ -89,16 +90,31 @@ def run_pipeline(
     _HOT = {"signatures", "dup_pairs", "exact_edges", "candidate_pairs"}
 
     def stage(name: str, build):
+        import time as _time
+
+        t0 = _time.time()
         if catalog is None:
             df = build()
             if name in _HOT:
-                df = df.cache()
-                df.count()
+                # localCheckpoint, not cache(): same eager stage-
+                # sequential materialization, but lineage is truncated
+                # (no giant recompute DAG carried forward) and the
+                # stored partitions don't occupy the unified memory
+                # pool that execution shuffles compete for.  Measured
+                # at 800k docs: e2e wall 155.9 → ~107 s at local[8]
+                # (the per-stage sum), and the 2→8-core scaling
+                # efficiency of the whole pipeline rises to the
+                # stage-level ~0.8 (tools/stage_scaling.py).
+                df = df.localCheckpoint(eager=True)
+            if timings is not None:
+                timings[name] = round(_time.time() - t0, 2)
             return df
         if catalog.is_committed(name):
             return catalog.read(spark, name)
         df = build()
         catalog.write(name, df, {"config": repr(cfg)})
+        if timings is not None:
+            timings[name] = round(_time.time() - t0, 2)
         return catalog.read(spark, name)
 
     if input_kind == "pages":

@@ -1,0 +1,100 @@
+"""Per-stage scaling attribution (VERDICT r3 next-round #2).
+
+Runs each pipeline stage separately at local[LO] and local[HI] in
+fresh subprocesses (cold JVM each) on a scaling corpus and prints a
+per-stage efficiency table — the r3 table predated the uint32 MinHash
+kernel and the de-banded mega salt; this reproduces it on the current
+tree so the residual non-scaling cost can be named.
+
+Usage: python tools/stage_scaling.py [n_docs] [lo] [hi]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+LO = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+HI = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+STAGE_CODE = """
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from face_duplicate_detection_spark.config import DedupConfig
+from face_duplicate_detection_spark.session import get_spark
+from face_duplicate_detection_spark.functions.normalize import (
+    matchable_docs, normalize_documents)
+from face_duplicate_detection_spark.operators.exact_dedup import (
+    exact_dup_edges, exact_representatives)
+from face_duplicate_detection_spark.operators.signatures import compute_signatures
+from face_duplicate_detection_spark.operators.lsh import (
+    candidate_pairs, explode_buckets)
+from face_duplicate_detection_spark.operators.verify import verify_pairs
+from face_duplicate_detection_spark.operators.connected_components import (
+    assign_clusters, connected_components)
+
+cfg = DedupConfig()
+spark = get_spark(app_name="stage-scale", master={master!r},
+                  shuffle_partitions={shuffle},
+                  extra_conf={{"spark.driver.memory": "16g",
+                  "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({corpus!r}).select("doc_id", "text")
+# warm-up
+warm = docs.filter(docs.doc_id % 10 == 3).limit(64 * {shuffle})
+wn = matchable_docs(normalize_documents(warm, cfg)).cache(); wn.count()
+ws = compute_signatures(exact_representatives(wn), cfg).cache(); ws.count()
+verify_pairs(candidate_pairs(explode_buckets(ws), cfg), ws, cfg).count()
+spark.catalog.clearCache()
+
+t = {{}}
+def stage(name, build):
+    t0 = time.time()
+    out = build()
+    t[name] = round(time.time() - t0, 2)
+    return out
+
+norm = stage("normalize", lambda: (lambda df: (df.count(), df)[1])(
+    matchable_docs(normalize_documents(docs, cfg)).localCheckpoint(eager=True)))
+edges_exact = stage("exact_collapse", lambda: (lambda df: (df.count(), df)[1])(
+    exact_dup_edges(norm).localCheckpoint(eager=True)))
+reps = exact_representatives(norm)
+sigs = stage("signatures", lambda: (lambda df: (df.count(), df)[1])(
+    compute_signatures(reps, cfg).localCheckpoint(eager=True)))
+cand = stage("candidates", lambda: (lambda df: (df.count(), df)[1])(
+    candidate_pairs(explode_buckets(sigs), cfg).localCheckpoint(eager=True)))
+ver = stage("verify", lambda: (lambda df: (df.count(), df)[1])(
+    verify_pairs(cand, sigs, cfg).localCheckpoint(eager=True)))
+lab = stage("cc_assign", lambda: (lambda df: (df.count(), df)[1])(
+    assign_clusters(norm.select("doc_id"), connected_components(
+        ver.select("a", "b").unionByName(edges_exact.select("a", "b"))))))
+t["total"] = round(sum(t.values()), 2)
+print(json.dumps(t))
+spark.stop()
+"""
+
+
+def run(master, shuffle):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = os.path.join("/tmp/fdds_bench", f"scaling_corpus_{N_DOCS}")
+    code = STAGE_CODE.format(repo=repo, master=master, shuffle=shuffle,
+                             corpus=corpus)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+if __name__ == "__main__":
+    lo = run(f"local[{LO}]", 4 * LO)
+    hi = run(f"local[{HI}]", 4 * HI)
+    print(f"# per-stage scaling, {N_DOCS} docs, local[{LO}] vs local[{HI}]")
+    print("| stage | lo s | hi s | eff |")
+    print("|---|---|---|---|")
+    for k in lo:
+        eff = (lo[k] / hi[k]) / (HI / LO) if hi[k] else float("nan")
+        print(f"| {k} | {lo[k]} | {hi[k]} | {eff:.2f} |")
+    print(json.dumps({"n_docs": N_DOCS, "lo": lo, "hi": hi}))
