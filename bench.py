@@ -317,6 +317,22 @@ def main_scaling():
     eff = (wall_lo / wall_hi) / (hi_cores / lo_cores)
     eff_norm = eff / max(calib_eff, 1e-9)
     os.makedirs("BENCH", exist_ok=True)
+    # every campaign appends its raw result here; BASELINE.md is the
+    # curated narrative (overwritten only on explicit request, since
+    # it carries hand-written per-round analysis)
+    with open("BENCH/campaigns.jsonl", "a") as f:
+        f.write(json.dumps({
+            "n_docs": n_docs, "lo_cores": lo_cores, "hi_cores": hi_cores,
+            "pin": pin, "walls_lo": [round(w, 2) for w in walls_lo],
+            "walls_hi": [round(w, 2) for w in walls_hi],
+            "calibs": [round(c, 3) for c in calibs],
+            "eff": round(eff, 3), "eff_norm": round(eff_norm, 3),
+            "docs_per_sec_hi": round(tp_hi, 1),
+        }) + "\n")
+    if os.environ.get("SPARK_GRAFT_WRITE_BASELINE", "0") != "1":
+        _print_scaling(lo_cores, hi_cores, wall_lo, wall_hi, tp_lo, tp_hi,
+                       calib_eff, eff, eff_norm, corpus)
+        return
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — measured numbers
@@ -365,6 +381,12 @@ best-of-N repeats), warm-up excluded from timing.
 CPU pinning: {"ON — each run's WHOLE process tree (JVM task/GC/shuffle/codegen threads + Python workers) is confined with taskset to exactly its core budget (lo=" + str(pin_lo) + ", hi=" + str(pin_hi) + "), the faithful emulation of an N-core executor; unpinned local[N] gives the lo side proportionally more hidden auxiliary-thread compute and understates scaling" if pin else "OFF — local[N] bounds task slots only; auxiliary JVM threads run on spare host cores"}.
 """
         )
+    _print_scaling(lo_cores, hi_cores, wall_lo, wall_hi, tp_lo, tp_hi,
+                   calib_eff, eff, eff_norm, corpus)
+
+
+def _print_scaling(lo_cores, hi_cores, wall_lo, wall_hi, tp_lo, tp_hi,
+                   calib_eff, eff, eff_norm, corpus):
     print(
         json.dumps(
             {

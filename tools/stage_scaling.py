@@ -7,6 +7,12 @@ kernel and the de-banded mega salt; this reproduces it on the current
 tree so the residual non-scaling cost can be named.
 
 Usage: python tools/stage_scaling.py [n_docs] [lo] [hi]
+
+Set ``SPARK_GRAFT_PIN=1`` to confine each measurement's WHOLE process
+tree (JVM task/GC/shuffle threads + Python workers) to exactly lo/hi
+cores via ``taskset`` — the faithful emulation of an N-core executor;
+unpinned, the lo side borrows spare host cores for auxiliary threads
+and the measured efficiency understates the engine (see bench.py).
 """
 
 import json
@@ -78,19 +84,24 @@ spark.stop()
 """
 
 
-def run(master, shuffle):
+PIN = os.environ.get("SPARK_GRAFT_PIN", "0") == "1"
+
+
+def run(master, shuffle, pin_cpus=None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     corpus = os.path.join("/tmp/fdds_bench", f"scaling_corpus_{N_DOCS}")
     code = STAGE_CODE.format(repo=repo, master=master, shuffle=shuffle,
                              corpus=corpus)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, check=True)
+    argv = [sys.executable, "-c", code]
+    if pin_cpus is not None:
+        argv = ["taskset", "-c", pin_cpus] + argv
+    out = subprocess.run(argv, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 if __name__ == "__main__":
-    lo = run(f"local[{LO}]", 4 * LO)
-    hi = run(f"local[{HI}]", 4 * HI)
+    lo = run(f"local[{LO}]", 4 * LO, f"0-{LO - 1}" if PIN else None)
+    hi = run(f"local[{HI}]", 4 * HI, f"0-{HI - 1}" if PIN else None)
     print(f"# per-stage scaling, {N_DOCS} docs, local[{LO}] vs local[{HI}]")
     print("| stage | lo s | hi s | eff |")
     print("|---|---|---|---|")
