@@ -133,6 +133,15 @@ def _e2e_dedup_seconds(
     import subprocess
 
     mem = os.environ.get("SPARK_GRAFT_BENCH_MEM", "16g")
+    # bounded-signature mode (cfg.store_shingles=False): the documented
+    # 100 TB state configuration — the signatures checkpoint carries
+    # only minhash/simhash/bands (O(docs·perms)) instead of the full
+    # shingle arrays (O(total text)).  At 4M docs the fat mode's
+    # signature table (~2.8 KB/doc of shingles alone) rivals the fixed
+    # 16 GB heap, so GC/eviction churn grows with corpus size and
+    # masquerades as Amdahl serial time; bounded mode holds the heap
+    # footprint flat and pays one extra candidate-only Arrow pass.
+    bounded = os.environ.get("SPARK_GRAFT_BOUNDED", "0") == "1"
     code = f"""
 import sys, time, json
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
@@ -147,26 +156,40 @@ spark = get_spark(app_name="bench-{master}", master={master!r},
                   extra_conf={{"spark.driver.memory": {mem!r},
                   "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}})
 spark.sparkContext.setLogLevel("ERROR")
+cfg = DedupConfig().with_(store_shingles={(not bounded)!r})
+# GC probe: stop-the-world collections pause every task thread at
+# once, so JVM GC seconds behave like Amdahl serial time — recording
+# them per run lets a campaign attribute efficiency loss to heap
+# pressure (fat signature state under a fixed heap) vs the plan.
+_mf = spark._jvm.java.lang.management.ManagementFactory
+def _gc_ms():
+    beans = _mf.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
 docs = spark.read.parquet({parquet_path!r}).select("doc_id", "text")
 n_docs = docs.count()
 # warm-up (excluded from timing): grows the heap, spins every Python
 # worker, JITs the shuffle paths — 10% slice or 64 docs/core
 warm_n = max(64 * {shuffle}, n_docs // 10)
 run_pipeline(docs.filter(docs.doc_id % 10 == 3).limit(warm_n),
-             DedupConfig(), input_kind="documents").clusters.count()
+             cfg, input_kind="documents").clusters.count()
 spark.catalog.clearCache()
+g0 = _gc_ms()
 t0 = time.time()
-res = run_pipeline(docs, DedupConfig(), input_kind="documents")
+res = run_pipeline(docs, cfg, input_kind="documents")
 res.clusters.count()
-print(json.dumps({{"wall": time.time() - t0, "n_docs": n_docs}}))
+print(json.dumps({{"wall": time.time() - t0, "n_docs": n_docs,
+                   "gc_s": round((_gc_ms() - g0) / 1000.0, 1)}}))
 spark.stop()
 """
     argv = [sys.executable, "-c", code]
     if pin_cpus is not None:
         argv = ["taskset", "-c", pin_cpus] + argv
-    out = subprocess.run(argv, capture_output=True, text=True, check=True)
+    out = subprocess.run(argv, capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"e2e run failed (master={master})")
     payload = json.loads(out.stdout.strip().splitlines()[-1])
-    return payload["wall"], payload["n_docs"]
+    return payload["wall"], payload["n_docs"], payload.get("gc_s", -1.0)
 
 
 def _synthesize_scaling_corpus(n_docs: int, out_dir: str) -> str:
@@ -288,7 +311,7 @@ def main_scaling():
     # records what the hardware gave pure parallel numpy in the same
     # window; min wall is the least contaminated estimate and the max
     # calibration is the window ceiling
-    walls_lo, walls_hi, calibs = [], [], []
+    walls_lo, walls_hi, calibs, gcs_lo, gcs_hi = [], [], [], [], []
     for _ in range(repeats):
         c = _calibrate_cpu_scaling(lo_cores, hi_cores, pin=pin)
         # clamp: a >1.0 "ceiling" means the lo-proc calibration itself
@@ -299,14 +322,16 @@ def main_scaling():
         # shuffle partitions = 4× cores: finer granularity smooths
         # per-partition stragglers (skewed candidate buckets) at the
         # hi-core side; AQE coalesces the excess
-        w, n_docs = _e2e_dedup_seconds(
+        w, n_docs, g = _e2e_dedup_seconds(
             f"local[{lo_cores}]", corpus, 4 * lo_cores, pin_cpus=pin_lo
         )
         walls_lo.append(w)
-        w, _ = _e2e_dedup_seconds(
+        gcs_lo.append(g)
+        w, _, g = _e2e_dedup_seconds(
             f"local[{hi_cores}]", corpus, 4 * hi_cores, pin_cpus=pin_hi
         )
         walls_hi.append(w)
+        gcs_hi.append(g)
     wall_lo, wall_hi = min(walls_lo), min(walls_hi)
     calib_eff = max(calibs)
     tp_lo = n_docs / wall_lo
@@ -323,8 +348,12 @@ def main_scaling():
     with open("BENCH/campaigns.jsonl", "a") as f:
         f.write(json.dumps({
             "n_docs": n_docs, "lo_cores": lo_cores, "hi_cores": hi_cores,
-            "pin": pin, "walls_lo": [round(w, 2) for w in walls_lo],
+            "pin": pin,
+            "bounded": os.environ.get("SPARK_GRAFT_BOUNDED", "0") == "1",
+            "mem": os.environ.get("SPARK_GRAFT_BENCH_MEM", "16g"),
+            "walls_lo": [round(w, 2) for w in walls_lo],
             "walls_hi": [round(w, 2) for w in walls_hi],
+            "gcs_lo": gcs_lo, "gcs_hi": gcs_hi,
             "calibs": [round(c, 3) for c in calibs],
             "eff": round(eff, 3), "eff_norm": round(eff_norm, 3),
             "docs_per_sec_hi": round(tp_hi, 1),

@@ -29,15 +29,18 @@ def decompose(lo_wall: float, hi_wall: float, lo: int, hi: int):
 
 def main(path: str = "BENCH/campaigns.jsonl") -> None:
     rows = [json.loads(ln) for ln in open(path) if ln.strip()]
-    print("| docs | pin | lo best (s) | hi best (s) | raw eff | ceiling "
-          "| norm | S (serial s) | W (core-s) | S/(S+W) | docs/s @hi |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    print("| docs | pin | mode | mem | lo best (s) | hi best (s) | raw eff "
+          "| ceiling | norm | S (serial s) | W (core-s) | S/(S+W) "
+          "| docs/s @hi |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         lo_w, hi_w = min(r["walls_lo"]), min(r["walls_hi"])
         s, w = decompose(lo_w, hi_w, r["lo_cores"], r["hi_cores"])
         frac = s / (s + w)
+        mode = "bounded" if r.get("bounded") else "fat-sig"
         print(
             f"| {r['n_docs']:,} | {'Y' if r.get('pin') else 'N'} "
+            f"| {mode} | {r.get('mem', '16g')} "
             f"| {lo_w:.1f} | {hi_w:.1f} | {r['eff']:.3f} "
             f"| {max(r['calibs']):.3f} | {r['eff_norm']:.3f} "
             f"| {s:.0f} | {w:.0f} | {frac:.3f} "
