@@ -175,10 +175,16 @@ run_pipeline(docs.filter(docs.doc_id % 10 == 3).limit(warm_n),
 spark.catalog.clearCache()
 g0 = _gc_ms()
 t0 = time.time()
-res = run_pipeline(docs, cfg, input_kind="documents")
+stages = {{}}
+res = run_pipeline(docs, cfg, input_kind="documents", timings=stages)
 res.clusters.count()
-print(json.dumps({{"wall": time.time() - t0, "n_docs": n_docs,
-                   "gc_s": round((_gc_ms() - g0) / 1000.0, 1)}}))
+wall = time.time() - t0
+# everything not inside an eagerly-materialized stage (normalize
+# compute folded into downstream scans, CC rounds, final assign)
+stages["cc_tail"] = round(wall - sum(stages.values()), 2)
+print(json.dumps({{"wall": wall, "n_docs": n_docs,
+                   "gc_s": round((_gc_ms() - g0) / 1000.0, 1),
+                   "stages": stages}}))
 spark.stop()
 """
     argv = [sys.executable, "-c", code]
@@ -189,7 +195,7 @@ spark.stop()
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"e2e run failed (master={master})")
     payload = json.loads(out.stdout.strip().splitlines()[-1])
-    return payload["wall"], payload["n_docs"], payload.get("gc_s", -1.0)
+    return payload
 
 
 def _synthesize_scaling_corpus(n_docs: int, out_dir: str) -> str:
@@ -312,6 +318,7 @@ def main_scaling():
     # window; min wall is the least contaminated estimate and the max
     # calibration is the window ceiling
     walls_lo, walls_hi, calibs, gcs_lo, gcs_hi = [], [], [], [], []
+    stages_lo, stages_hi = [], []
     for _ in range(repeats):
         c = _calibrate_cpu_scaling(lo_cores, hi_cores, pin=pin)
         # clamp: a >1.0 "ceiling" means the lo-proc calibration itself
@@ -322,16 +329,19 @@ def main_scaling():
         # shuffle partitions = 4× cores: finer granularity smooths
         # per-partition stragglers (skewed candidate buckets) at the
         # hi-core side; AQE coalesces the excess
-        w, n_docs, g = _e2e_dedup_seconds(
+        p = _e2e_dedup_seconds(
             f"local[{lo_cores}]", corpus, 4 * lo_cores, pin_cpus=pin_lo
         )
-        walls_lo.append(w)
-        gcs_lo.append(g)
-        w, _, g = _e2e_dedup_seconds(
+        n_docs = p["n_docs"]
+        walls_lo.append(p["wall"])
+        gcs_lo.append(p.get("gc_s", -1.0))
+        stages_lo.append(p.get("stages", {}))
+        p = _e2e_dedup_seconds(
             f"local[{hi_cores}]", corpus, 4 * hi_cores, pin_cpus=pin_hi
         )
-        walls_hi.append(w)
-        gcs_hi.append(g)
+        walls_hi.append(p["wall"])
+        gcs_hi.append(p.get("gc_s", -1.0))
+        stages_hi.append(p.get("stages", {}))
     wall_lo, wall_hi = min(walls_lo), min(walls_hi)
     calib_eff = max(calibs)
     tp_lo = n_docs / wall_lo
@@ -354,6 +364,7 @@ def main_scaling():
             "walls_lo": [round(w, 2) for w in walls_lo],
             "walls_hi": [round(w, 2) for w in walls_hi],
             "gcs_lo": gcs_lo, "gcs_hi": gcs_hi,
+            "stages_lo": stages_lo, "stages_hi": stages_hi,
             "calibs": [round(c, 3) for c in calibs],
             "eff": round(eff, 3), "eff_norm": round(eff_norm, 3),
             "docs_per_sec_hi": round(tp_hi, 1),
