@@ -49,7 +49,8 @@ def main(path: str = "BENCH/campaigns.jsonl") -> None:
     # projection: with the largest campaign's S held fixed and W
     # scaled linearly in docs, what does the raw efficiency tend to?
     if rows:
-        r = max(rows, key=lambda x: x["n_docs"])
+        # latest row wins among equal sizes (modes improve over time)
+        r = max(reversed(rows), key=lambda x: x["n_docs"])
         lo_w, hi_w = min(r["walls_lo"]), min(r["walls_hi"])
         s, w = decompose(lo_w, hi_w, r["lo_cores"], r["hi_cores"])
         lo_c, hi_c = r["lo_cores"], r["hi_cores"]
