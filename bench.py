@@ -136,11 +136,14 @@ def _e2e_dedup_seconds(
     # bounded-signature mode (cfg.store_shingles=False): the documented
     # 100 TB state configuration — the signatures checkpoint carries
     # only minhash/simhash/bands (O(docs·perms)) instead of the full
-    # shingle arrays (O(total text)).  At 4M docs the fat mode's
-    # signature table (~2.8 KB/doc of shingles alone) rivals the fixed
-    # 16 GB heap, so GC/eviction churn grows with corpus size and
-    # masquerades as Amdahl serial time; bounded mode holds the heap
-    # footprint flat and pays one extra candidate-only Arrow pass.
+    # shingle arrays (O(total text)).  Measured round-4 diagnosis
+    # (BENCH/BASELINE.md, raw legs in BENCH/ab_runs.jsonl): the fat
+    # arrays (~2.8 KB/doc) dominate shuffle/checkpoint BYTE TRAFFIC and
+    # saturate the shared memory bus at 8 cores — bounded mode cut the
+    # 4M-doc local[8] wall 976.8 → 637.4 s.  The GC hypothesis was
+    # refuted in the same runs: in-run MXBean probes put stop-the-world
+    # GC at ~3% of wall in both modes.  Bounded pays one extra
+    # candidate-only Arrow pass at verify time.
     bounded = os.environ.get("SPARK_GRAFT_BOUNDED", "0") == "1"
     code = f"""
 import sys, time, json
@@ -164,7 +167,10 @@ cfg = DedupConfig().with_(store_shingles={(not bounded)!r})
 _mf = spark._jvm.java.lang.management.ManagementFactory
 def _gc_ms():
     beans = _mf.getGarbageCollectorMXBeans()
-    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    # getCollectionTime() is -1 for collectors without time tracking
+    # (ADVICE r4) — clamp so one such bean can't understate the sum
+    return sum(max(0, beans.get(i).getCollectionTime())
+               for i in range(beans.size()))
 docs = spark.read.parquet({parquet_path!r}).select("doc_id", "text")
 n_docs = docs.count()
 # warm-up (excluded from timing): grows the heap, spins every Python

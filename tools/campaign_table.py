@@ -20,7 +20,15 @@ import sys
 
 
 def decompose(lo_wall: float, hi_wall: float, lo: int, hi: int):
-    """Solve the two-point Amdahl system; returns (S, W)."""
+    """Solve the two-point Amdahl system; returns (S, W).
+
+    Returns (None, None) when the system has no physical solution:
+    lo == hi divides by zero, and hi_wall >= lo_wall (possible under
+    the documented ±30% contention noise) would yield negative W/S —
+    the caller prints 'n/a' instead of silent nonsense (ADVICE r4).
+    """
+    if lo == hi or hi_wall >= lo_wall:
+        return None, None
     # lo_wall = S + W/lo ; hi_wall = S + W/hi
     w = (lo_wall - hi_wall) / (1.0 / lo - 1.0 / hi)
     s = lo_wall - w / lo
@@ -36,14 +44,18 @@ def main(path: str = "BENCH/campaigns.jsonl") -> None:
     for r in rows:
         lo_w, hi_w = min(r["walls_lo"]), min(r["walls_hi"])
         s, w = decompose(lo_w, hi_w, r["lo_cores"], r["hi_cores"])
-        frac = s / (s + w)
+        if s is None:
+            s_str = w_str = frac_str = "n/a"
+        else:
+            s_str, w_str = f"{s:.0f}", f"{w:.0f}"
+            frac_str = f"{s / (s + w):.3f}"
         mode = "bounded" if r.get("bounded") else "fat-sig"
         print(
             f"| {r['n_docs']:,} | {'Y' if r.get('pin') else 'N'} "
             f"| {mode} | {r.get('mem', '16g')} "
             f"| {lo_w:.1f} | {hi_w:.1f} | {r['eff']:.3f} "
             f"| {max(r['calibs']):.3f} | {r['eff_norm']:.3f} "
-            f"| {s:.0f} | {w:.0f} | {frac:.3f} "
+            f"| {s_str} | {w_str} | {frac_str} "
             f"| {r['docs_per_sec_hi']:,.0f} |"
         )
     # projection: with the largest campaign's S held fixed and W
@@ -53,6 +65,8 @@ def main(path: str = "BENCH/campaigns.jsonl") -> None:
         r = max(reversed(rows), key=lambda x: x["n_docs"])
         lo_w, hi_w = min(r["walls_lo"]), min(r["walls_hi"])
         s, w = decompose(lo_w, hi_w, r["lo_cores"], r["hi_cores"])
+        if s is None:
+            return
         lo_c, hi_c = r["lo_cores"], r["hi_cores"]
         print("\nprojection (S fixed, W ∝ docs, from the largest campaign):")
         for mult in (1, 2, 4, 8, 16):

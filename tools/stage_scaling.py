@@ -59,7 +59,9 @@ _mf = spark._jvm.java.lang.management.ManagementFactory
 _rt = spark._jvm.java.lang.Runtime.getRuntime()
 def gc_ms():
     beans = _mf.getGarbageCollectorMXBeans()
-    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    # -1 = collector without time tracking (ADVICE r4): clamp to 0
+    return sum(max(0, beans.get(i).getCollectionTime())
+               for i in range(beans.size()))
 def heap_gb():
     return round((_rt.totalMemory() - _rt.freeMemory()) / 1e9, 2)
 # warm-up
