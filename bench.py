@@ -77,8 +77,45 @@ def _minhash_dup_pairs_skew(spark, sf_dir, n_group: int = 6000):
     return res.dup_pairs
 
 
-def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
-    """Headline queries; returns ({name: seconds}, docs_count)."""
+def _contention_probe(seconds: float = 2.0) -> float:
+    """Single-process numpy hash-kernel throughput (iterations/sec) —
+    a fixed workload whose speed depends only on what the host gives
+    this box right now.  Recorded before and after the query suite so
+    round-over-round bench deltas can be adjudicated against host
+    contention instead of guessed at (VERDICT r4: the r4 regressions
+    on queries with zero code changes were unfalsifiable because the
+    bench carried no same-window probe)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(1, 2**62, size=100_000, dtype=np.uint64)
+    a = np.uint64(0x9E3779B97F4A7C15)
+    for _ in range(50):  # warm the kernel (first uint64 ops are slow)
+        y = x * a + np.uint64(12345)
+        y.min()
+    n = 0
+    t_end = time.time() + seconds
+    t0 = time.time()
+    while time.time() < t_end:
+        for _ in range(20):
+            y = x * a + np.uint64(12345)
+            y.min()
+        n += 20
+    return round(n / (time.time() - t0), 1)
+
+
+def _run_queries(
+    spark, sf_dir: str, repeats: int = 3
+) -> tuple[dict, dict, int]:
+    """Headline queries, best-of-``repeats`` per query; returns
+    ({name: best seconds}, {name: median seconds}, docs_count).
+
+    Best-of-N (VERDICT r4 next-round #2): single-shot timings made
+    round-over-round deltas unfalsifiable on this contended VM (±30%
+    swings on queries with zero code changes).  The best wall is the
+    least contaminated estimate; the median is recorded alongside so
+    a real regression (best AND median move together) is separable
+    from a noisy window (median moves, best holds)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -95,18 +132,34 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "token_stats",
         "shingle_jaccard_pairs",
         "ann_topk",
+        "ann_topk_large",        # IVF cell-partitioned ANN (scale plan)
         "long_span_pairs",
         "lineitem_pricing",
     ]
-    timings = {}
+    import gc
+
+    timings, medians = {}, {}
     for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+            # drop refs to this run's localCheckpoint RDDs so repeats
+            # don't accumulate block-manager state run over run
+            df = None
+            gc.collect()
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+        print(
+            f"  {name}: best {timings[name]}s / median {medians[name]}s"
+            f" ({n} rows, {repeats} runs)",
+            file=sys.stderr,
+        )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    return timings, docs
+    return timings, medians, docs
 
 
 def _e2e_dedup_seconds(
@@ -145,6 +198,8 @@ def _e2e_dedup_seconds(
     # GC at ~3% of wall in both modes.  Bounded pays one extra
     # candidate-only Arrow pass at verify time.
     bounded = os.environ.get("SPARK_GRAFT_BOUNDED", "0") == "1"
+    # census-input materialization A/B (config.checkpoint_buckets)
+    ckpt_buckets = os.environ.get("SPARK_GRAFT_CKPT_BUCKETS", "0") == "1"
     code = f"""
 import sys, time, json
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
@@ -159,7 +214,8 @@ spark = get_spark(app_name="bench-{master}", master={master!r},
                   extra_conf={{"spark.driver.memory": {mem!r},
                   "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}})
 spark.sparkContext.setLogLevel("ERROR")
-cfg = DedupConfig().with_(store_shingles={(not bounded)!r})
+cfg = DedupConfig().with_(store_shingles={(not bounded)!r},
+                          checkpoint_buckets={ckpt_buckets!r})
 # GC probe: stop-the-world collections pause every task thread at
 # once, so JVM GC seconds behave like Amdahl serial time — recording
 # them per run lets a campaign attribute efficiency loss to heap
@@ -241,15 +297,18 @@ def main_bench():
     for name in [
         "dedup_clusters", "minhash_dup_pairs", "exact_dup_clusters",
         "token_stats", "shingle_jaccard_pairs", "ann_topk",
-        "long_span_pairs", "lineitem_pricing",
+        "ann_topk_large", "long_span_pairs", "lineitem_pricing",
     ]:
         warm_qs[name](spark, "/root/testdata/sf0.001").count()
     # warm the skew path's shapes at a sub-mega size
     _minhash_dup_pairs_skew(spark, "/root/testdata/sf0.001", n_group=300).count()
     spark.catalog.clearCache()
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    probe_pre = _contention_probe()
     t0 = time.time()
-    timings, n_docs = _run_queries(spark, sf_dir)
+    timings, medians, n_docs = _run_queries(spark, sf_dir, repeats=repeats)
     total = round(time.time() - t0, 3)
+    probe_post = _contention_probe()
     e2e = timings.get("dedup_clusters", total)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -259,6 +318,13 @@ def main_bench():
                 "value": e2e,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "repeats": repeats,
+                # same-window host-speed probe (iterations/sec of a
+                # fixed single-proc numpy kernel): compare across
+                # rounds before attributing query deltas to the code
+                "probe_ips_pre": probe_pre,
+                "probe_ips_post": probe_post,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "total_sec": total,
                 "n_docs": n_docs,
