@@ -80,6 +80,19 @@ class DedupConfig:
     # "what's wrong" #2c).
     store_shingles: bool = True
 
+    # --- candidate-generation census input (VERDICT r4 #2) ---
+    # candidate_pairs scans its bucket stream 3× (size census, normal
+    # anti-join, mega semi-join).  True: localCheckpoint the exploded
+    # stream once so the scans re-read stored blocks instead of
+    # recomputing the posexplode (+ the incremental path's state-read
+    # and touched-bucket semi-join) per scan.  A/B at 2M docs,
+    # bounded, local[8], interleaved order (BENCH/ab_runs.jsonl
+    # `checkpoint_buckets_ab`): recompute WINS — best wall 304 s vs
+    # 412 s, candidate stage 94 s vs 159 s — so False is the default;
+    # 3 recomputed scans beat 1 write + 3 reads of the n_docs×32-row
+    # stream (same conclusion as the suffix path's anchor A/B).
+    checkpoint_buckets: bool = False
+
     # --- incremental state maintenance (B2; VERDICT r2 #2a/#2b) ---
     # every `compact_every` applied batches the label-delta log is
     # folded into bucketed base tables (one row per doc), bounding the

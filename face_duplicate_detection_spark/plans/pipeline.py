@@ -138,6 +138,11 @@ def run_pipeline(
 
     def build_pairs():
         buckets = explode_buckets(signatures)
+        if cfg.checkpoint_buckets:
+            # one stored copy of the exploded stream; the census's 3
+            # scans become block re-reads instead of posexplode
+            # recomputes (config.checkpoint_buckets for the A/B)
+            buckets = buckets.localCheckpoint(eager=True)
         return candidate_pairs(buckets, cfg)
 
     cand = stage("candidate_pairs", build_pairs)

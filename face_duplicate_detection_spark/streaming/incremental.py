@@ -382,6 +382,10 @@ def incremental_batch(
         bucket_input = new_buckets
         all_sigs = new_sigs
 
+    if cfg.checkpoint_buckets:
+        # the census's 3 scans would otherwise re-read the state
+        # parquet AND re-run the touched-bucket semi-join per scan
+        bucket_input = bucket_input.localCheckpoint(eager=True)
     cand = candidate_pairs(bucket_input, cfg)
     cand_new = (
         cand.join(F.broadcast(new_ids), cand["a"] == F.col("nid"), "left")
