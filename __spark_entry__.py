@@ -625,40 +625,105 @@ def q_dedup_clusters_chained(spark, sf_dir):
     return res.clusters.select("doc_id", "cluster_id", "is_canonical")
 
 
+# --------------------- winnowed suffix-path planted corpus --------------
+#
+# q_long_span_pairs runs winnow=False (stride-1 anchors) so its DuckDB
+# twin can recompute LCS from substrings exactly.  The PRODUCTION
+# suffix path winnows anchors 1/span_winnow (VERDICT r4 next-round #6)
+# — this corpus oracles that path: 10 groups of 3 docs share a planted
+# span of known length L_g = 260 + 7·g (all ≥ span_min_len = 256),
+# wrapped in per-member-unique boundary chars so the exact LCS of any
+# group pair is EXACTLY L_g (no accidental extension), plus 20
+# span-free filler docs.  The engine's winnowed output must equal the
+# planted truth — every planted pair recovered (winnow recall 1.0 on
+# this corpus) with the exact span length (verification is stride-1
+# regardless of winnowing), and nothing else (verify is exact, and
+# fillers share no 64-char window).  Reference analogue: exact-match
+# semantics at duplicate_face.py:66-67 (tolerance→0).
+_SPAN_GROUPS = 10
+_SPAN_MEMBERS = 3
+_SPAN_BASE_ID = 4_000_000
+
+
+def _span_len_of(g: int) -> int:
+    return 260 + 7 * g
+
+
+def _span_rows():
+    rows = []
+    for g in range(_SPAN_GROUPS):
+        span_tokens = " ".join(f"s{g:02d}w{j:02d}" for j in range(60))
+        span = span_tokens[: _span_len_of(g)]
+        for j in range(_SPAN_MEMBERS):
+            did = _SPAN_BASE_ID + g * _SPAN_MEMBERS + j
+            pre = " ".join(f"p{did}t{k}" for k in range(30))
+            post = " ".join(f"q{did}t{k}" for k in range(30))
+            # boundary chars unique within the group: the char before
+            # and after the span differ between any two members, so
+            # their LCS cannot extend past the planted span
+            rows.append(
+                (did, f"{pre} {chr(ord('b') + j)}{span}{chr(ord('m') + j)} {post}")
+            )
+    for j in range(20):
+        did = _SPAN_BASE_ID + 100_000 + j
+        rows.append((did, " ".join(f"f{did}t{k}" for k in range(60))))
+    return rows
+
+
+def q_long_span_pairs_winnowed(spark, sf_dir):
+    """Suffix stage under PRODUCTION winnowing (winnow=True, default
+    1/16 anchor sample): planted-span corpus where the expected output
+    is known exactly — see _span_rows.  (sf_dir ignored: the corpus is
+    its own fixture, like dedup_clusters_chained.)"""
+    from face_duplicate_detection_spark.functions.normalize import (
+        matchable_docs,
+        normalize_documents,
+    )
+    from face_duplicate_detection_spark.operators.suffix_spans import long_span_pairs
+
+    docs = matchable_docs(
+        normalize_documents(
+            spark.createDataFrame(_span_rows(), "doc_id long, text string"), CFG
+        )
+    )
+    return long_span_pairs(docs, CFG, winnow=True)
+
+
 def q_lineage_stats(spark, sf_dir):
     """A1/B4 lineage surface: per-stage row totals from the lineage
     table the pipeline commits alongside its stage tables (per-
     partition rows aggregated to per-stage so the result is stable
-    under partitioning)."""
-    import tempfile
-
-    from face_duplicate_detection_spark.catalog import StageCatalog
+    under partitioning).  Session-lifetime scratch catalog: the
+    returned DataFrame stays lazy and parquet-backed (VERDICT r4 #8 —
+    no driver-side cache().count() materialization)."""
+    from face_duplicate_detection_spark.catalog import (
+        StageCatalog,
+        session_scratch,
+    )
     from face_duplicate_detection_spark.plans.pipeline import run_pipeline
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cfg = CFG.with_(bucket_cap=4096, mega_bucket_cap=1_000_000)
-    with tempfile.TemporaryDirectory() as d:
-        cat = StageCatalog(d)
-        run_pipeline(docs, cfg, input_kind="documents", catalog=cat)
-        out = (
-            cat.read(spark, "lineage")
-            .groupBy("stage")
-            .agg(F.sum("rows_in").alias("rows_in"))
-            .orderBy("stage")
-        )
-        out = out.cache()
-        out.count()   # materialize before the tmpdir vanishes
-        return out
+    cat = StageCatalog(session_scratch("fdds_lineage_"))
+    run_pipeline(docs, cfg, input_kind="documents", catalog=cat)
+    return (
+        cat.read(spark, "lineage")
+        .groupBy("stage")
+        .agg(F.sum("rows_in").alias("rows_in"))
+        .orderBy("stage")
+    )
 
 
 def q_incremental_batch_ledger(spark, sf_dir):
     """B3 resume surface: three keyed batches + a replay of an
     already-applied key.  Returns per-batch (batch_seq, n_new_sigs)
     from the committed inc_metrics state — exactly three rows iff the
-    replay was a no-op and each batch was applied exactly once."""
-    import tempfile
-
-    from face_duplicate_detection_spark.catalog import StageCatalog
+    replay was a no-op and each batch was applied exactly once.
+    Session-lifetime scratch catalog keeps the result lazy."""
+    from face_duplicate_detection_spark.catalog import (
+        StageCatalog,
+        session_scratch,
+    )
     from face_duplicate_detection_spark.streaming.incremental import (
         incremental_batch,
     )
@@ -666,42 +731,40 @@ def q_incremental_batch_ledger(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.col("text").isNotNull()
     )
-    with tempfile.TemporaryDirectory() as d:
-        cat = StageCatalog(d)
-        for k in range(3):
-            incremental_batch(
-                docs.filter(F.col("doc_id") % 3 == k),
-                CFG,
-                cat,
-                spark,
-                with_metrics=True,
-                batch_key=f"b{k}",
-            )
-        # at-least-once delivery: replay of an applied key is a no-op
+    cat = StageCatalog(session_scratch("fdds_ledger_"))
+    for k in range(3):
         incremental_batch(
-            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 == k),
             CFG,
             cat,
             spark,
             with_metrics=True,
-            batch_key="b0",
+            batch_key=f"b{k}",
         )
-        out = (
-            cat.read(spark, "inc_metrics")
-            .select("batch_seq", "n_new_sigs")
-            .orderBy("batch_seq")
-        )
-        out = out.cache()
-        out.count()
-        return out
+    # at-least-once delivery: replay of an applied key is a no-op
+    incremental_batch(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        CFG,
+        cat,
+        spark,
+        with_metrics=True,
+        batch_key="b0",
+    )
+    return (
+        cat.read(spark, "inc_metrics")
+        .select("batch_seq", "n_new_sigs")
+        .orderBy("batch_seq")
+    )
 
 
 def q_incremental_dedup(spark, sf_dir):
     """B2 cross-batch carried state: two incremental batches produce
-    the same clusters as one full run (returns the final state)."""
-    import tempfile
-
-    from face_duplicate_detection_spark.catalog import StageCatalog
+    the same clusters as one full run (returns the final state).
+    Session-lifetime scratch catalog keeps the result lazy."""
+    from face_duplicate_detection_spark.catalog import (
+        StageCatalog,
+        session_scratch,
+    )
     from face_duplicate_detection_spark.streaming.incremental import (
         incremental_batch,
     )
@@ -709,13 +772,10 @@ def q_incremental_dedup(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.col("text").isNotNull()
     )
-    with tempfile.TemporaryDirectory() as d:
-        cat = StageCatalog(d)
-        incremental_batch(docs.filter(F.col("doc_id") % 2 == 0), CFG, cat, spark)
-        out = incremental_batch(docs.filter(F.col("doc_id") % 2 == 1), CFG, cat, spark)
-        out = out.orderBy("doc_id")
-        out.cache().count()  # materialize before the tmpdir vanishes
-        return out
+    cat = StageCatalog(session_scratch("fdds_incdedup_"))
+    incremental_batch(docs.filter(F.col("doc_id") % 2 == 0), CFG, cat, spark)
+    out = incremental_batch(docs.filter(F.col("doc_id") % 2 == 1), CFG, cat, spark)
+    return out.orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -756,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chained": q_dedup_clusters_chained,
         "lineage_stats": q_lineage_stats,
         "incremental_batch_ledger": q_incremental_batch_ledger,
+        # production winnowed suffix path vs planted truth (round 5)
+        "long_span_pairs_winnowed": q_long_span_pairs_winnowed,
     }
 
 
@@ -1472,6 +1534,23 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_new_sigs
             FROM (SELECT unnest(generate_series(0, 2)) AS k)
             ORDER BY batch_seq
+        """,
+        # long_span_pairs_winnowed: the planted truth — the corpus is
+        # constructed (see _span_rows) so the exact long-span pair set
+        # is every within-group pair with span_len exactly
+        # 260 + 7*g; the engine must recover ALL of them under
+        # production winnowing (and nothing else: verification is
+        # exact LCS, fillers share no window).
+        "long_span_pairs_winnowed": f"""
+            SELECT CAST({_SPAN_BASE_ID} + g*{_SPAN_MEMBERS} + j1 AS BIGINT) AS a,
+                   CAST({_SPAN_BASE_ID} + g*{_SPAN_MEMBERS} + j2 AS BIGINT) AS b,
+                   CAST(260 + 7*g AS INT) AS span_len,
+                   'suffix' AS method
+            FROM (SELECT unnest(generate_series(0, {_SPAN_GROUPS - 1})) AS g),
+                 (SELECT unnest(generate_series(0, {_SPAN_MEMBERS - 1})) AS j1),
+                 (SELECT unnest(generate_series(0, {_SPAN_MEMBERS - 1})) AS j2)
+            WHERE j1 < j2
+            ORDER BY a, b
         """,
         "ann_topk": """
             WITH scored AS (

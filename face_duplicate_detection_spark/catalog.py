@@ -18,11 +18,27 @@ written after every batch at 195-196).
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def session_scratch(prefix: str = "fdds_stage_") -> str:
+    """Session-lifetime scratch directory for a StageCatalog.
+
+    Unlike a ``tempfile.TemporaryDirectory`` context, the directory
+    outlives the creating function — DataFrames returned from it stay
+    LAZY and parquet-backed instead of needing a driver-side
+    ``cache().count()`` materialization before the dir vanishes
+    (VERDICT r4 next-round #8).  Removed at interpreter exit."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 class StageCatalog:

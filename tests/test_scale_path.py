@@ -91,3 +91,57 @@ def test_chained_clusters_exact(spark, stress):
     for j in range(40):
         expected[3_000_000 + j] = 3_000_000 + j
     assert got == expected
+
+
+def test_default_caps_pair_recall(spark, cfg):
+    """VERDICT r4 next-round #5 — quantify what chain pairing
+    sacrifices at the DEFAULT caps (bucket_cap=16, chain_window=2):
+    dup-pair recall (cluster co-membership pairs, the BASELINE.json
+    metric) of the default config vs the raised-cap all-pairs run on
+    an sf0.1-shaped corpus, augmented with three 40-doc boilerplate
+    groups so the caps actually bind (40 > bucket_cap; chain pairing
+    replaces all-pairs inside those band buckets).
+
+    Chain edges are a SUBSET of all-pairs edges, so default clusters
+    can only refine the all-pairs clusters — recall is the one number
+    at stake (precision is 1 by construction, asserted anyway)."""
+    from pyspark.sql import functions as F
+
+    from face_duplicate_detection_spark.plans.pipeline import run_pipeline
+    from face_duplicate_detection_spark.sources.pages import synthesize_pages
+
+    base = synthesize_pages(spark, 5000, seed=42).select("doc_id", "text")
+    body = {
+        g: " ".join(f"rc{g}w{j:02d}" for j in range(40)) for g in range(3)
+    }
+    boiler = spark.createDataFrame(
+        [
+            (5_000_000 + g * 100 + i, f"{body[g]} v{i}")
+            for g in range(3)
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(boiler)
+
+    def comember_pairs(clusters):
+        c = clusters.select("doc_id", "cluster_id")
+        a = c.select(F.col("doc_id").alias("a"), "cluster_id")
+        b = c.select(F.col("doc_id").alias("b"), "cluster_id")
+        return a.join(b, "cluster_id").filter(F.col("a") < F.col("b")).select("a", "b")
+
+    res_def = run_pipeline(docs, cfg, input_kind="documents")
+    pairs_def = comember_pairs(res_def.clusters).cache()
+    all_cfg = cfg.with_(bucket_cap=4096, mega_bucket_cap=1_000_000)
+    res_all = run_pipeline(docs, all_cfg, input_kind="documents")
+    pairs_all = comember_pairs(res_all.clusters).cache()
+
+    n_all = pairs_all.count()
+    n_hit = pairs_def.join(pairs_all, ["a", "b"], "left_semi").count()
+    n_extra = pairs_def.join(pairs_all, ["a", "b"], "left_anti").count()
+    assert n_all >= 3 * (40 * 39 // 2), "caps never bound — vacuous test"
+    assert n_extra == 0, f"{n_extra} pairs merged beyond the all-pairs run"
+    recall = n_hit / n_all
+    assert recall >= 0.99, f"default-cap dup-pair recall {recall:.4f} < 0.99"
+    pairs_def.unpersist()
+    pairs_all.unpersist()
