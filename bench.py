@@ -398,18 +398,25 @@ def main_scaling():
         calibs.append(
             min(1.0, (c[hi_cores] / c[lo_cores]) / (hi_cores / lo_cores))
         )
-        # shuffle partitions = 4× cores: finer granularity smooths
-        # per-partition stragglers (skewed candidate buckets) at the
-        # hi-core side; AQE coalesces the excess
+        # shuffle partitions: at least 4× cores (finer granularity
+        # smooths per-partition stragglers; AQE coalesces the excess)
+        # AND at most ~100k docs per partition — at 8M docs a 32-way
+        # shuffle put ~250k docs of pair+shingle traffic in each task
+        # and 8 concurrent tasks OOMed even a 48 GB heap.  Above the
+        # core floor both legs get the SAME partition count, i.e.
+        # identical plans, so the ratio measures cores, not plans.
+        def _shuffle(cores: int) -> int:
+            return max(4 * cores, n_docs_target // 100_000)
+
         p = _e2e_dedup_seconds(
-            f"local[{lo_cores}]", corpus, 4 * lo_cores, pin_cpus=pin_lo
+            f"local[{lo_cores}]", corpus, _shuffle(lo_cores), pin_cpus=pin_lo
         )
         n_docs = p["n_docs"]
         walls_lo.append(p["wall"])
         gcs_lo.append(p.get("gc_s", -1.0))
         stages_lo.append(p.get("stages", {}))
         p = _e2e_dedup_seconds(
-            f"local[{hi_cores}]", corpus, 4 * hi_cores, pin_cpus=pin_hi
+            f"local[{hi_cores}]", corpus, _shuffle(hi_cores), pin_cpus=pin_hi
         )
         walls_hi.append(p["wall"])
         gcs_hi.append(p.get("gc_s", -1.0))

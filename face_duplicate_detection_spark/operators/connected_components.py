@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from face_duplicate_detection_spark.session import local_ckpt
+
 
 def _star_round(e: DataFrame) -> DataFrame:
     """One large-star + small-star round over oriented edges (hi > lo).
@@ -113,7 +115,7 @@ def connected_components(
         )
         .distinct()
     )
-    e = e.repartition("hi").localCheckpoint(eager=eager)
+    e = local_ckpt(e.repartition("hi"), eager=eager)
     spark = e.sparkSession
     parts = None
     if eager:
@@ -134,7 +136,7 @@ def connected_components(
             spark.sparkContext.defaultParallelism,
             n_edges // 50_000 + 1,
         ))
-        e = e.repartition(parts, "hi").localCheckpoint(eager=True)
+        e = local_ckpt(e.repartition(parts, "hi"))
 
     prev_sig: tuple | None = None
     converged = False
@@ -152,8 +154,9 @@ def connected_components(
                 # fingerprint (edges are distinct), no ANSI overflow
                 F.bit_xor(F.xxhash64("hi", "lo")).alias("hsum"),
             )
-            .localCheckpoint(eager=eager)
+            
         )
+        new_e = local_ckpt(new_e, eager=eager)
         if not eager:
             new_e.count()  # lazy mode: force the job so obs resolves
         e = new_e

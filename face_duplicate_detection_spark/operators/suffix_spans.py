@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from face_duplicate_detection_spark.config import DedupConfig
+from face_duplicate_detection_spark.session import local_ckpt
 from face_duplicate_detection_spark.functions.text_hashing import (
     normalize_text,
     window_hash_positions,
@@ -215,7 +216,7 @@ def verify_spans(
     # the checkpoint the (expensive) candidate-generation plan re-runs
     # ~3× inside this one query (measured: verify wall 10s → 3s at
     # sf0.1).  Candidate pairs are LSH-bounded, so this is tiny.
-    p = pairs.select("a", "b").distinct().localCheckpoint(eager=True)
+    p = local_ckpt(pairs.select("a", "b").distinct())
     cand_ids = (
         p.select(F.col("a").alias("doc_id"))
         .unionByName(p.select(F.col("b").alias("doc_id")))
@@ -223,9 +224,9 @@ def verify_spans(
     )
     # materialized: ax and bx below each scan this Arrow pass;
     # positioned anchors are linear in the candidate docs only
-    anch = emit_positioned_anchors(
-        docs.join(cand_ids, "doc_id", "left_semi"), cfg
-    ).localCheckpoint(eager=True)
+    anch = local_ckpt(
+        emit_positioned_anchors(docs.join(cand_ids, "doc_id", "left_semi"), cfg)
+    )
     ax = anch.select(
         F.col("doc_id").alias("a"), "anchor", F.col("pos").alias("pa")
     )

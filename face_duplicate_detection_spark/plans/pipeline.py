@@ -53,6 +53,7 @@ from face_duplicate_detection_spark.operators.lsh import (
 )
 from face_duplicate_detection_spark.operators.signatures import compute_signatures
 from face_duplicate_detection_spark.operators.verify import verify_pairs
+from face_duplicate_detection_spark.session import local_ckpt
 
 
 @dataclass
@@ -105,7 +106,7 @@ def run_pipeline(
                 # (the per-stage sum), and the 2→8-core scaling
                 # efficiency of the whole pipeline rises to the
                 # stage-level ~0.8 (tools/stage_scaling.py).
-                df = df.localCheckpoint(eager=True)
+                df = local_ckpt(df)
             if timings is not None:
                 timings[name] = round(_time.time() - t0, 2)
             return df
@@ -142,7 +143,7 @@ def run_pipeline(
             # one stored copy of the exploded stream; the census's 3
             # scans become block re-reads instead of posexplode
             # recomputes (config.checkpoint_buckets for the A/B)
-            buckets = buckets.localCheckpoint(eager=True)
+            buckets = local_ckpt(buckets)
         return candidate_pairs(buckets, cfg)
 
     cand = stage("candidate_pairs", build_pairs)

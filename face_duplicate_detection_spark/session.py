@@ -11,7 +11,28 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+
+def local_ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Eager localCheckpoint with SERIALIZED storage.
+
+    ``DataFrame.localCheckpoint()`` defaults to the JVM's
+    ``MEMORY_AND_DISK_DESER``: every re-read of a disk-spilled block
+    tries to re-cache the partition as deserialized Java rows, each
+    carrying per-object overhead several × the columnar bytes.  At 8M
+    docs × 8 concurrent tasks that re-caching OOMed a 48 GB heap
+    (round 5 campaign log).  PySpark's ``MEMORY_AND_DISK`` (the
+    SERIALIZED level) keeps stored stage blocks compact (~the columnar
+    size) and bounds the unroll; on this sandbox "disk" is tmpfs so
+    the spill path stays RAM-speed — the production analogue is
+    serialized block storage on per-executor NVMe.  Per-scan
+    deserialization cost is paid only by the 2-3 consumers each hot
+    stage actually has."""
+    return df.localCheckpoint(
+        eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def get_spark(

@@ -62,6 +62,7 @@ from face_duplicate_detection_spark.operators.signatures import (
     compute_signatures,
 )
 from face_duplicate_detection_spark.operators.verify import verify_pairs
+from face_duplicate_detection_spark.session import local_ckpt
 
 BASE_TABLE = "state_clusters_base"      # one row/doc, partitioned by doc_bkt
 MEMBERS_TABLE = "state_members_base"    # one row/doc, partitioned by label_bkt
@@ -282,7 +283,7 @@ def compact_state(
     partition-prune: resolution joins by doc_id, affected-member
     retrieval filters by cluster_id.
     """
-    full = resolved_clusters(spark, catalog).localCheckpoint(eager=True)
+    full = local_ckpt(resolved_clusters(spark, catalog))
     p = F.lit(cfg.state_partitions)
     # the bucket count is recorded in the manifests so later pruning
     # pmods with the COMPACT-TIME value even if cfg changes (ADVICE r3)
@@ -339,7 +340,7 @@ def incremental_batch(
         return resolved_clusters(spark, catalog)
 
     new_docs = new_docs.select("doc_id", "text")
-    new_sigs = compute_signatures(new_docs, cfg).localCheckpoint(eager=True)
+    new_sigs = local_ckpt(compute_signatures(new_docs, cfg))
     new_buckets = explode_buckets(new_sigs)
     has_state = catalog.is_committed("state_signatures")
     if has_state:
@@ -385,7 +386,7 @@ def incremental_batch(
     if cfg.checkpoint_buckets:
         # the census's 3 scans would otherwise re-read the state
         # parquet AND re-run the touched-bucket semi-join per scan
-        bucket_input = bucket_input.localCheckpoint(eager=True)
+        bucket_input = local_ckpt(bucket_input)
     cand = candidate_pairs(bucket_input, cfg)
     cand_new = (
         cand.join(F.broadcast(new_ids), cand["a"] == F.col("nid"), "left")
@@ -408,9 +409,9 @@ def incremental_batch(
         else:
             verify_docs = new_docs
 
-    new_edges = verify_pairs(cand_new, all_sigs, cfg, docs=verify_docs).select(
-        "a", "b"
-    ).localCheckpoint(eager=True)
+    new_edges = local_ckpt(
+        verify_pairs(cand_new, all_sigs, cfg, docs=verify_docs).select("a", "b")
+    )
 
     n_star_edges = 0
     counters: dict = {}
@@ -432,16 +433,13 @@ def incremental_batch(
             cfg,
             counters=counters if with_metrics else None,
         )
-        affected = (
-            prior_ep.select(F.col("cluster_id").alias("aff_label"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        affected = local_ckpt(
+            prior_ep.select(F.col("cluster_id").alias("aff_label")).distinct()
         )
         members = _affected_members(spark, catalog, affected, cfg)
-        star_edges = (
+        star_edges = local_ckpt(
             members.filter(F.col("doc_id") != F.col("cluster_id"))
             .select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"))
-            .localCheckpoint(eager=True)
         )
         if with_metrics:
             n_star_edges = star_edges.count()
