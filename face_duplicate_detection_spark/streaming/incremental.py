@@ -383,16 +383,37 @@ def incremental_batch(
         bucket_input = new_buckets
         all_sigs = new_sigs
 
-    if cfg.checkpoint_buckets:
-        # the census's 3 scans would otherwise re-read the state
-        # parquet AND re-run the touched-bucket semi-join per scan
+    if has_state or cfg.checkpoint_buckets:
+        # unlike run_pipeline's case (a cheap posexplode of
+        # checkpointed signatures, where the A/B showed recompute
+        # wins — BENCH/ab_runs.jsonl checkpoint_buckets_ab), the
+        # incremental bucket stream is a full state-parquet scan plus
+        # an anti-join and a touched-bucket semi-join; recomputing
+        # THAT 3× for the census made per-batch wall grow with the
+        # accumulated corpus (round-5 incremental campaign: batch
+        # walls 45 → 154 s across 8 × 250k batches) — the one stored
+        # copy is O(touched ∪ new), not O(corpus)
         bucket_input = local_ckpt(bucket_input)
     cand = candidate_pairs(bucket_input, cfg)
     cand_new = (
         cand.join(F.broadcast(new_ids), cand["a"] == F.col("nid"), "left")
         .withColumnRenamed("nid", "a_new")
         .join(F.broadcast(new_ids), cand["b"] == F.col("nid"), "left")
-        .filter(F.col("a_new").isNotNull() | F.col("nid").isNotNull())
+        # forced (mega-bucket chain/bridge) pairs are kept even when
+        # BOTH endpoints are old: when a growing bucket crosses
+        # mega_bucket_cap, the salted subgroups' minima are mostly
+        # old docs, and dropping their old-old bridge pairs leaves
+        # the bucket's subgroups permanently disconnected — the
+        # one-shot run would merge them (round-5 campaign: 66k-row
+        # cluster divergence at 2M docs traced to this filter).
+        # Forced volume is bounded (≤ salt_buckets minima per bucket
+        # + linear subgroup chains), so re-verifying them per
+        # touched batch stays O(touched).
+        .filter(
+            F.col("a_new").isNotNull()
+            | F.col("nid").isNotNull()
+            | F.col("forced")
+        )
         .select("a", "b", "n_bands", "forced")
     )
 

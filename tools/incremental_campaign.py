@@ -57,7 +57,22 @@ spark = get_spark(app_name="inc-campaign", master="local[{cores}]",
                   "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}})
 spark.sparkContext.setLogLevel("ERROR")
 cfg = DedupConfig().with_(store_shingles={store!r})
-docs = spark.read.parquet({corpus!r}).select("doc_id", "text")
+raw = spark.read.parquet({corpus!r}).select("doc_id", "text")
+# production ingest contract: the incremental path receives
+# NORMALIZED, MATCHABLE docs (the streaming handler normalizes before
+# signing) while run_pipeline normalizes internally and excludes
+# non-matchable docs from matching.  Feeding incremental the raw
+# corpus instead made 66,484 rows diverge at 2M docs — every diff was
+# a non-matchable doc (~100k in this corpus) that incremental had
+# signed and clustered but one-shot held out as a status singleton.
+# Both paths below therefore run over the same matchable set, and the
+# cluster comparison is over that set.
+from face_duplicate_detection_spark.functions.normalize import (
+    matchable_docs, normalize_documents)
+from face_duplicate_detection_spark.session import local_ckpt
+docs = local_ckpt(
+    matchable_docs(normalize_documents(raw, cfg)).select("doc_id", "text")
+)
 n_docs = docs.count()
 
 # warm-up (excluded): spin Python workers / JIT the shuffle paths
@@ -86,7 +101,7 @@ oneshot = round(time.time() - t0, 1)
 # equality: same cluster label partition (labels are min-doc_id roots
 # in both paths, so direct equality, not just partition-equivalence)
 inc = final.select("doc_id", "cluster_id")
-one = res.clusters.select("doc_id", "cluster_id")
+one = res.clusters.filter("status = 'ok'").select("doc_id", "cluster_id")
 n_diff = inc.exceptAll(one).count() + one.exceptAll(inc).count()
 shutil.rmtree(root, ignore_errors=True)
 print(json.dumps({{"n_docs": n_docs, "batch_walls": batch_walls,
