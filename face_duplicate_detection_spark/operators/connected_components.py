@@ -48,10 +48,48 @@ order canonical; identical when doc_id respects ingestion order).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from face_duplicate_detection_spark.session import local_ckpt
+
+# Driver fast-path bound (round 6): edge sets at or below this size are
+# union-found on the driver instead of iterating distributed star
+# rounds.  Rationale (optimization guide §1.2 — fix the algorithm
+# before the configuration): dup GRAPHS are tiny relative to the
+# corpus (the 5000-doc sf0.1 bench corpus yields 249 edges; even the
+# 8M-doc campaign yields ~10^6), and each star round is 4-5 tiny
+# shuffles plus a localCheckpoint job — pure scheduler overhead below
+# ~10^5 edges (measured: the CC stage was 1.4-2.0 s of the 6 s sf0.1
+# pipeline).  200k edges × 16 B = ~3 MB collected — same order as the
+# bounded centroid collect in similarity.py; beyond the cap the
+# distributed large/small-star loop runs unchanged, so the plan stays
+# scale-safe (the cap is a constant, not a function of corpus size).
+CC_DRIVER_CAP = int(os.environ.get("FDDS_CC_DRIVER_CAP", "200000"))
+
+
+def _union_find_labels(pairs) -> dict[int, int]:
+    """Union-find with min-root invariant: after all unions the root of
+    every set is its minimum element, so find(x) IS the cluster_id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for hi, lo in pairs:
+        ra, rb = find(hi), find(lo)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra            # larger root attaches under min
+    return {x: find(x) for x in parent}
 
 
 def _star_round(e: DataFrame) -> DataFrame:
@@ -89,13 +127,20 @@ def _star_round(e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, eager: bool = True
+    edges: DataFrame,
+    max_iterations: int = 50,
+    eager: bool = True,
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """edges(a, b) → labels(doc_id, cluster_id = min doc_id in component).
 
     Only nodes that appear in an edge are returned (isolated docs are
     their own cluster; callers add them back with a left join —
     cheaper than materializing a label row per document here).
+
+    ``driver_cap`` (default :data:`CC_DRIVER_CAP`) selects the bounded
+    driver union-find fast path for small deduped edge sets; pass 0 to
+    force the distributed star loop regardless of size.
     """
     from pyspark.sql import Observation
 
@@ -115,10 +160,42 @@ def connected_components(
         )
         .distinct()
     )
-    e = local_ckpt(e.repartition("hi"), eager=eager)
+    # checkpoint the distinct output directly: distinct's own exchange
+    # already partitioned by (hi, lo), and the star rounds re-shuffle
+    # by a different key anyway — the former repartition("hi") was one
+    # extra full exchange per CC invocation for nothing (round 6)
+    e = local_ckpt(e, eager=eager)
     spark = e.sparkSession
     parts = None
     if eager:
+        n_edges = e.count()
+        cap = CC_DRIVER_CAP if driver_cap is None else driver_cap
+        if n_edges <= cap:
+            # bounded driver fast path (see CC_DRIVER_CAP): one
+            # collect of ≤ cap (hi, lo) longs, exact union-find, and
+            # the star table goes back as a broadcast left join — the
+            # same final join shape as the distributed loop, so
+            # self-loop-only nodes (present in `nodes`, absent from
+            # `e`) still label themselves identically.
+            import pandas as pd
+
+            lab = _union_find_labels(
+                (r["hi"], r["lo"]) for r in e.collect()
+            )
+            star = [(n, r) for n, r in lab.items() if n != r]
+            star_df = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "node": pd.array([n for n, _ in star], dtype="int64"),
+                        "root": pd.array([r for _, r in star], dtype="int64"),
+                    }
+                ),
+                schema="node long, root long",
+            )
+            return nodes.join(F.broadcast(star_df), "node", "left").select(
+                F.col("node").alias("doc_id"),
+                F.coalesce("root", "node").alias("cluster_id"),
+            )
         # size the per-round edge set to the actual edge count — dup
         # graphs are usually tiny relative to the corpus, and 32-task
         # jobs over a few thousand edges are pure scheduler overhead.
@@ -130,13 +207,15 @@ def connected_components(
         # loop (ADVICE r3 / VERDICT r3 "what's wrong" #2; the A/B in
         # tools/cc_conf_experiment.py measured the explicit form faster
         # on small graphs — the common case — and within 8% on a
-        # pathological 200k-edge chain).
-        n_edges = e.count()
+        # pathological 200k-edge chain).  Round inputs are narrowed
+        # with coalesce (no shuffle, no second checkpoint job — round
+        # 6; the rounds repartition their OUTPUTS to `parts` anyway).
         parts = max(1, min(
             spark.sparkContext.defaultParallelism,
             n_edges // 50_000 + 1,
         ))
-        e = local_ckpt(e.repartition(parts, "hi"))
+        if parts < e.rdd.getNumPartitions():
+            e = e.coalesce(parts)
 
     prev_sig: tuple | None = None
     converged = False

@@ -58,11 +58,35 @@ from face_duplicate_detection_spark.session import local_ckpt
 
 @dataclass
 class PipelineResult:
+    """Pipeline outputs.  ``clusters`` / ``dup_assignments`` are LAZY
+    (round 6): the connected-components loop is an eager multi-job
+    stage, and half the query surface (``minhash_dup_pairs``, the skew
+    bench row, ``duplicate_report``) consumes only ``dup_pairs`` —
+    building CC for them was 1.4-3.8 s of pure waste per call
+    (measured sf0.1 / skew-corpus stage walls).  First attribute
+    access builds (and caches) the stage; consumers that do use
+    clusters pay exactly what they paid before."""
+
     docs_normalized: DataFrame
     signatures: DataFrame
     dup_pairs: DataFrame       # verified similarity edges (a, b, jaccard, method)
-    clusters: DataFrame        # doc_id, ..., cluster_id, is_canonical
-    dup_assignments: DataFrame  # (canonical, duplicate) rows — reference output form
+    _clusters_fn: "object"     # () -> DataFrame, memoized below
+
+    @property
+    def clusters(self) -> DataFrame:  # doc_id, ..., cluster_id, is_canonical
+        if not hasattr(self, "_clusters_df"):
+            object.__setattr__(self, "_clusters_df", self._clusters_fn())
+        return self._clusters_df
+
+    @property
+    def dup_assignments(self) -> DataFrame:
+        """(canonical, duplicate) rows — reference output form."""
+        return self.clusters.filter(
+            (~F.col("is_canonical")) & (F.col("status") == "ok")
+        ).select(
+            F.col("cluster_id").alias("canonical"),
+            F.col("doc_id").alias("duplicate"),
+        )
 
 
 def run_pipeline(
@@ -176,13 +200,8 @@ def run_pipeline(
             docs_normalized.select("doc_id", "status"), labels
         )
 
-    clusters = stage("clusters", build_clusters)
-
-    dup_assignments = clusters.filter(
-        (~F.col("is_canonical")) & (F.col("status") == "ok")
-    ).select(
-        F.col("cluster_id").alias("canonical"), F.col("doc_id").alias("duplicate")
-    )
+    def clusters_stage():
+        return stage("clusters", build_clusters)
 
     # per-partition lineage rows (north_rule: every stage writes
     # per-partition lineage + metrics) — committed alongside the
@@ -199,6 +218,5 @@ def run_pipeline(
         docs_normalized=docs_normalized,
         signatures=signatures,
         dup_pairs=dup_pairs,
-        clusters=clusters,
-        dup_assignments=dup_assignments,
+        _clusters_fn=clusters_stage,
     )

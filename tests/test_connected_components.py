@@ -24,12 +24,34 @@ def _path_edges(spark, n, seed=7):
 def test_long_path_single_cluster(spark):
     """ADVICE r1 repro: a path-like component (diameter ≫ 50) must
     still collapse into ONE cluster — min-label alone moves one hop
-    per round and fragmented a 121-node path into 70 clusters."""
+    per round and fragmented a 121-node path into 70 clusters.
+    Exercises BOTH the driver union-find fast path (default, round 6)
+    and the distributed star loop (driver_cap=0)."""
     edges, min_id = _path_edges(spark, 500)
-    labels = connected_components(edges)
-    rows = labels.collect()
-    assert len(rows) == 500
-    assert {r["cluster_id"] for r in rows} == {min_id}
+    for cap in (None, 0):
+        kw = {} if cap is None else {"driver_cap": cap}
+        rows = connected_components(edges, **kw).collect()
+        assert len(rows) == 500
+        assert {r["cluster_id"] for r in rows} == {min_id}
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    """Round-6 optimization guard: the bounded driver union-find must
+    label a mixed graph (two blobs + a long path + a self-loop-only
+    node) identically to the distributed large/small-star loop."""
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(300).astype(int)
+    edges = [(int(ids[i]), int(ids[i + 1])) for i in range(120)]       # path
+    edges += [(int(ids[150]), int(ids[150 + j])) for j in range(1, 40)]  # star
+    edges += [(int(a), int(b)) for a, b in rng.integers(200, 290, (60, 2))]
+    edges += [(777, 777)]  # self-loop-only node labels itself
+    df = spark.createDataFrame(edges, ["a", "b"])
+    fast = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df).collect()}
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, driver_cap=0).collect()}
+    assert fast == dist
+    assert fast[777] == 777
 
 
 def test_two_components_and_star(spark):
@@ -46,7 +68,9 @@ def test_nonconvergence_raises(spark):
     """Exhausting max_iterations must raise, never return wrong labels."""
     edges, _ = _path_edges(spark, 2000, seed=3)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=2)
+        # driver_cap=0 forces the distributed loop (the driver fast
+        # path would otherwise solve a 2000-edge graph directly)
+        connected_components(edges, max_iterations=2, driver_cap=0)
 
 
 def test_assign_clusters_singletons(spark):
