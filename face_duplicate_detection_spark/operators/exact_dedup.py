@@ -60,6 +60,32 @@ def exact_dup_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def exact_base(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One window pass serving BOTH pipeline consumers (round 6).
+
+    The pipeline used to run two separate windows over the identical
+    ``(text_hash, text)`` key — :func:`exact_dup_edges` for the edge
+    set and :func:`exact_representatives` for the rows that proceed to
+    signatures — i.e. the full text column was shuffled twice per run.
+    This emits (doc_id, text, rep = min doc_id of the identical-text
+    group, _rn = rank within the group) from a single exchange+sort:
+    with the window ordered by doc_id ascending, the running ``min``
+    over the default frame IS the group minimum, so ``min`` and
+    ``row_number`` share one Window operator.  Edges are the
+    ``doc_id != rep`` rows; representatives are ``_rn == 1``.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = with_text_hash(docs)
+    w = Window.partitionBy("text_hash", "text").orderBy(id_col)
+    return hashed.select(
+        id_col,
+        "text",
+        F.min(id_col).over(w).alias("rep"),
+        F.row_number().over(w).alias("_rn"),
+    )
+
+
 def exact_representatives(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text: the min-doc_id representative.
 

@@ -43,10 +43,7 @@ from face_duplicate_detection_spark.operators.connected_components import (
     assign_clusters,
     connected_components,
 )
-from face_duplicate_detection_spark.operators.exact_dedup import (
-    exact_dup_edges,
-    exact_representatives,
-)
+from face_duplicate_detection_spark.operators.exact_dedup import exact_base
 from face_duplicate_detection_spark.operators.lsh import (
     candidate_pairs,
     explode_buckets,
@@ -112,7 +109,7 @@ def run_pipeline(
     # concurrently (racing each other for cores and re-computing the
     # not-yet-cached signature partitions) — measured ~3× slower than
     # stage-sequential execution on this workload.
-    _HOT = {"signatures", "dup_pairs", "exact_edges", "candidate_pairs"}
+    _HOT = {"signatures", "dup_pairs", "exact_base", "candidate_pairs"}
 
     def stage(name: str, build):
         import time as _time
@@ -153,11 +150,19 @@ def run_pipeline(
 
     matchable = matchable_docs(docs_normalized)
 
-    # exact-copy collapse (only distinct texts get signatures)
-    exact_edges = stage(
-        "exact_edges", lambda: exact_dup_edges(matchable)
+    # exact-copy collapse (only distinct texts get signatures).  One
+    # checkpointed window pass feeds BOTH the edge set and the
+    # representative rows (round 6): the former exact_edges stage plus
+    # the lazily recomputed exact_representatives each shuffled the
+    # full text column through an identical (text_hash, text) window —
+    # two exchanges of the fat column where one suffices, and the
+    # signature stage now reads representatives from stored blocks
+    # instead of re-running normalize + window from the source.
+    base = stage("exact_base", lambda: exact_base(matchable))
+    exact_edges = base.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("a"), F.col("doc_id").alias("b")
     )
-    reps = exact_representatives(matchable)
+    reps = base.filter(F.col("_rn") == 1).select("doc_id", "text")
 
     signatures = stage("signatures", lambda: compute_signatures(reps, cfg))
 

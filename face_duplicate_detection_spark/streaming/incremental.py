@@ -314,6 +314,7 @@ def incremental_batch(
     spark: SparkSession | None = None,
     with_metrics: bool = False,
     batch_key: str | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Dedup `new_docs` against all previously-seen state; returns the
     updated clusters view and commits state deltas.
@@ -335,12 +336,23 @@ def incremental_batch(
     ``cfg.compact_every`` batches), and — in bounded-signature mode —
     ``state_texts``.
     """
+    import time as _time
+
     spark = spark or new_docs.sparkSession
     if batch_key is not None and catalog.batch_applied(batch_key):
         return resolved_clusters(spark, catalog)
 
+    _t = _time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t
+        if timings is not None:
+            timings[phase] = round(_time.time() - _t, 2)
+        _t = _time.time()
+
     new_docs = new_docs.select("doc_id", "text")
     new_sigs = local_ckpt(compute_signatures(new_docs, cfg))
+    _mark("sigs")
     new_buckets = explode_buckets(new_sigs)
     has_state = catalog.is_committed("state_signatures")
     if has_state:
@@ -394,6 +406,7 @@ def incremental_batch(
         # walls 45 → 154 s across 8 × 250k batches) — the one stored
         # copy is O(touched ∪ new), not O(corpus)
         bucket_input = local_ckpt(bucket_input)
+    _mark("buckets")
     cand = candidate_pairs(bucket_input, cfg)
     cand_new = (
         cand.join(F.broadcast(new_ids), cand["a"] == F.col("nid"), "left")
@@ -433,6 +446,7 @@ def incremental_batch(
     new_edges = local_ckpt(
         verify_pairs(cand_new, all_sigs, cfg, docs=verify_docs).select("a", "b")
     )
+    _mark("verify")
 
     n_star_edges = 0
     counters: dict = {}
@@ -467,8 +481,10 @@ def incremental_batch(
         cc_edges = new_edges.unionByName(star_edges)
     else:
         cc_edges = new_edges
+    _mark("star")
 
     labels = connected_components(cc_edges)
+    _mark("cc")
 
     key = batch_key if batch_key is not None else f"seq{batch_seq}"
     catalog.append(
@@ -509,8 +525,10 @@ def incremental_batch(
             path_key=key,
         )
     catalog.mark_batch_applied(key, batch_seq)
+    _mark("append")
     if cfg.compact_every and batch_seq % cfg.compact_every == 0:
         compact_state(spark, catalog, cfg)
+        _mark("compact")
     return resolved_clusters(spark, catalog)
 
 

@@ -65,7 +65,7 @@ def main(argv=None) -> int:
     if not args.resume:
         for t in [
             "docs_normalized",
-            "exact_edges",
+            "exact_base",
             "signatures",
             "candidate_pairs",
             "dup_pairs",
