@@ -112,8 +112,30 @@ def _check_signature_format(catalog: StageCatalog) -> None:
             f"state catalog at {catalog.root} has signature_format={fmt!r} "
             f"but this engine computes {SIGNATURE_FORMAT!r}; resuming would "
             "silently miss all cross-batch duplicates — recompute the state "
-            "(drop state_signatures/state_buckets) or pin the engine version"
+            "(drop state_signatures) or pin the engine version"
         )
+
+
+def _read_excluding(
+    spark: SparkSession, catalog: StageCatalog, name: str, key: str
+) -> DataFrame | None:
+    """Read an append table EXCLUDING the current batch key's path.
+
+    Used for state a retry of a half-applied batch must not see its
+    own failed attempt's rows in (same reason the signature/bucket
+    reads anti-join the new ids): the ``@b{key}`` directory may exist
+    from the crashed attempt even though the batch never reached the
+    ledger."""
+    if not catalog.is_committed(name):
+        return None
+    m = catalog.read_manifest(name)
+    paths = [
+        p for p in m.get("paths", [m["path"]])
+        if not p.endswith(f"@b{key}")
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
 
 
 def _latest_deltas(spark: SparkSession, catalog: StageCatalog) -> DataFrame | None:
@@ -167,6 +189,7 @@ def _affected_members(
     catalog: StageCatalog,
     affected: DataFrame,
     cfg: DedupConfig,
+    deltas: DataFrame | None = None,
 ) -> DataFrame:
     """All (doc_id, cluster_id) rows whose CURRENT label ∈ affected.
 
@@ -174,8 +197,11 @@ def _affected_members(
     label-bucketed base PARTITION-PRUNED to the affected labels'
     buckets (the tiny bucket-id collect is the manual form of dynamic
     partition pruning).  Never a full scan of the label state.
+    ``deltas`` lets the caller share one resolved delta view instead
+    of re-running the latest-label window per helper (round 6).
     """
-    deltas = _latest_deltas(spark, catalog)
+    if deltas is None:
+        deltas = _latest_deltas(spark, catalog)
     aff = F.broadcast(affected)   # bounded by batch size by construction
     parts = []
     if deltas is not None:
@@ -220,6 +246,7 @@ def _resolved_for(
     ids: DataFrame,
     cfg: DedupConfig,
     counters: dict | None = None,
+    deltas: DataFrame | None = None,
 ) -> DataFrame:
     """Current labels for the GIVEN doc_ids only (doc_id, cluster_id).
 
@@ -252,7 +279,8 @@ def _resolved_for(
         )
         out = out.join(base, "doc_id", "left")
         base_label = F.col("_base")
-    deltas = _latest_deltas(spark, catalog)
+    if deltas is None:
+        deltas = _latest_deltas(spark, catalog)
     label = base_label
     if deltas is not None:
         delta = deltas.join(bids, "doc_id", "left_semi").select(
@@ -330,11 +358,12 @@ def incremental_batch(
     a half-applied batch rewrites the same ``@b{key}`` paths and
     re-marks the ledger — at-least-once delivery, exactly-once state.
 
-    State tables: ``state_signatures``, ``state_buckets``,
-    ``state_clusters`` (label deltas; folded into
-    ``state_clusters_base`` / ``state_members_base`` every
-    ``cfg.compact_every`` batches), and — in bounded-signature mode —
-    ``state_texts``.
+    State tables: ``state_signatures`` (band arrays included — the old
+    bucket state is a pruned posexplode of this table, no separate
+    ``state_buckets`` materialization), ``state_clusters`` (label
+    deltas; folded into ``state_clusters_base`` /
+    ``state_members_base`` every ``cfg.compact_every`` batches), and —
+    in bounded-signature mode — ``state_texts``.
     """
     import time as _time
 
@@ -361,36 +390,42 @@ def incremental_batch(
     new_ids = new_sigs.select(F.col("doc_id").alias("nid"))
 
     if has_state:
-        all_sigs = (
+        # anti-join on the new ids guards the replay-of-a-half-applied-
+        # batch case: the failed attempt's own appends (deterministic
+        # paths, so not duplicated) must not feed back as "old" state
+        old_sigs = (
             catalog.read(spark, "state_signatures")
             .join(F.broadcast(new_ids), F.col("doc_id") == F.col("nid"), "left_anti")
             .drop("nid")
-            .unionByName(new_sigs)
         )
-        # per-table is_committed guard (ADVICE r3): a crash between the
-        # state_signatures append and the state_buckets append leaves a
-        # half-applied FIRST batch whose retry must not FileNotFound on
-        # the missing table — fall back to new-only input
-        if catalog.is_committed("state_buckets"):
-            # anti-join on the new ids guards the replay-of-a-half-
-            # applied-batch case: the failed attempt's own appends
-            # (deterministic paths, so not duplicated) must not feed
-            # back as "old" state
-            old_buckets = catalog.read(spark, "state_buckets").join(
-                F.broadcast(new_ids),
-                F.col("doc_id") == F.col("nid"),
-                "left_anti",
-            )
-            # prune the accumulated bucket state to buckets a new doc
-            # touches — parquet scan + semi-join, no re-hash of old docs
-            touched = old_buckets.join(
-                new_buckets.select("band", "band_hash").distinct(),
-                ["band", "band_hash"],
-                "left_semi",
-            )
-            bucket_input = touched.unionByName(new_buckets)
-        else:
-            bucket_input = new_buckets
+        all_sigs = old_sigs.unionByName(new_sigs)
+        # old buckets are a posexplode of the band arrays ALREADY in
+        # the signature state — the former separate `state_buckets`
+        # table materialized the same stream at 32 rows/doc, costing a
+        # full O(corpus) 3-column scan PLUS a per-batch append job for
+        # a value derivable from a 2-column (doc_id, bands) pruned
+        # read of state_signatures (round 6; the 500k-doc campaign
+        # profile put the bucket phase at 5-7 s/batch and the append
+        # phase at ~3 s/batch, both shrunk by this).  Recovery also
+        # simplifies: one fewer partially-applied table in the crash
+        # window.
+        old_buckets = explode_buckets(old_sigs)
+        # prune the accumulated bucket state to buckets a new doc
+        # touches.  The semi-join key is band_hash ALONE, broadcast:
+        # band_hashes mixes the band index into the hash
+        # (text_hashing.band_hashes), so a hash value identifies its
+        # band and the (band, band_hash) key was redundant — and with
+        # a single-column broadcast build side the growing exploded
+        # state streams map-side instead of being shuffled per batch
+        # (at 2M docs the old side is ~56M rows; the build side is
+        # bounded by the BATCH size — ~32·|new| longs — so the
+        # broadcast never grows with the corpus).
+        touched = old_buckets.join(
+            F.broadcast(new_buckets.select("band_hash").distinct()),
+            "band_hash",
+            "left_semi",
+        )
+        bucket_input = touched.unionByName(new_buckets)
     else:
         bucket_input = new_buckets
         all_sigs = new_sigs
@@ -429,6 +464,40 @@ def incremental_batch(
         )
         .select("a", "b", "n_bands", "forced")
     )
+    # forced-pair dedup against state (round 6).  Mega-bucket chain/
+    # bridge pairs are generated from a doc_id-keyed salt, so a grown
+    # boilerplate bucket re-proposes the SAME forced (a, b) pairs in
+    # every later batch — each re-paying exact-Jaccard verification,
+    # candidate-doc shingle recompute (bounded mode), and a re-emitted
+    # edge that re-enters endpoint resolution + star retrieval + CC.
+    # The 500k-doc campaign profile showed n_new_edges GROWING 0 → 24k
+    # → 65k → 105k across batches on these repeats.  Dropping a pair
+    # already verified in an APPLIED batch is exact: if it verified
+    # true, its edge is already folded into the label state (star
+    # edges re-materialize the component); if it failed, re-verifying
+    # the same immutable texts fails again.  Only forced pairs are
+    # recorded (they bypass the n_bands pre-filter, so every proposal
+    # was actually verified — recording pre-filtered non-forced
+    # proposals would wrongly suppress a later FORCED re-proposal of a
+    # pair whose first sighting was never Jaccard-checked).
+    key = batch_key if batch_key is not None else f"seq{batch_seq}"
+    forced_seen = _read_excluding(spark, catalog, "state_forced_seen", key)
+    if forced_seen is not None:
+        cand_new = cand_new.join(forced_seen, ["a", "b"], "left_anti")
+    # one stored copy of the candidate set (round 6).  run_pipeline
+    # checkpoints its candidate_pairs stage, but the incremental path
+    # fed the RAW candidate DAG into verify_pairs, which evaluates the
+    # `pairs` subtree ~4×: cand_ids is built from both endpoints, the
+    # pair join consumes it again, and bounded-state mode adds a
+    # shingle-recompute semi-join — so the whole census + groupBys +
+    # pair-explosion graph (plus the state-bucket scans feeding it)
+    # re-ran with each consumer.  Profiled at 1M docs / 4 batches /
+    # local[8] (BENCH/incremental_campaign.jsonl): the verify phase
+    # was 49-111 s of every 90-155 s batch — 67% of the whole ingest.
+    # Candidates are LSH-bounded (O(touched ∪ new)), so the stored
+    # copy is tiny.
+    cand_new = local_ckpt(cand_new)
+    _mark("cand")
 
     if cfg.store_shingles:
         verify_docs = None
@@ -461,17 +530,24 @@ def incremental_batch(
             .unionByName(new_edges.select(F.col("b").alias("doc_id")))
             .distinct()
         )
+        # one latest-delta window per batch, shared by endpoint
+        # resolution AND affected-member retrieval (round 6 — each
+        # helper used to re-run the window over the delta log)
+        deltas = _latest_deltas(spark, catalog)
+        if deltas is not None:
+            deltas = local_ckpt(deltas)
         prior_ep = _resolved_for(
             spark,
             catalog,
             endpoint_ids,
             cfg,
             counters=counters if with_metrics else None,
+            deltas=deltas,
         )
         affected = local_ckpt(
             prior_ep.select(F.col("cluster_id").alias("aff_label")).distinct()
         )
-        members = _affected_members(spark, catalog, affected, cfg)
+        members = _affected_members(spark, catalog, affected, cfg, deltas=deltas)
         star_edges = local_ckpt(
             members.filter(F.col("doc_id") != F.col("cluster_id"))
             .select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"))
@@ -486,14 +562,12 @@ def incremental_batch(
     labels = connected_components(cc_edges)
     _mark("cc")
 
-    key = batch_key if batch_key is not None else f"seq{batch_seq}"
     catalog.append(
         "state_signatures",
         new_sigs,
         meta={"signature_format": SIGNATURE_FORMAT},
         path_key=key,
     )
-    catalog.append("state_buckets", new_buckets, path_key=key)
     if not cfg.store_shingles:
         catalog.append("state_texts", new_docs, path_key=key)
     catalog.append(
@@ -503,11 +577,23 @@ def incremental_batch(
         ),
         path_key=key,
     )
+    # record this batch's (verified) forced pairs so later batches
+    # drop their re-proposals.  Ordered AFTER the state_clusters
+    # append: a crash between the two leaves labels applied but pairs
+    # unrecorded (harmless re-verification next batch), never pairs
+    # recorded without their edges in the label state; a half-applied
+    # retry excludes its own failed attempt's rows (_read_excluding).
+    catalog.append(
+        "state_forced_seen",
+        cand_new.filter(F.col("forced")).select("a", "b"),
+        path_key=key,
+    )
     if with_metrics:
         metrics = {
             "n_new_sigs": new_sigs.count(),
             "n_new_bucket_rows": new_buckets.count(),
             "n_bucket_input_rows": bucket_input.count(),
+            "n_candidates": cand_new.count(),
             "n_new_edges": new_edges.count(),
             "n_star_edge_rows": n_star_edges,
             # rows actually read from the compacted label base for

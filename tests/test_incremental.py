@@ -165,8 +165,6 @@ def test_replay_same_batch_key_is_noop(spark, cfg, pages_500, tmp_path_factory):
         ).collect()
     )
     assert cat.read(spark, "state_signatures").count() == sigs_before
-    assert cat.read(spark, "state_buckets").select("doc_id").distinct().count() \
-        == sigs_before
     # ledger has exactly the two applied batches
     assert cat.applied_count() == 2
     view_after = sorted(

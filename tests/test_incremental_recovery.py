@@ -51,7 +51,7 @@ def test_resume_with_changed_state_partitions(spark, cfg, tmp_path_factory):
 
 def test_replay_half_applied_first_batch(spark, cfg, tmp_path_factory):
     """ADVICE r3: a FIRST batch that crashed after the
-    state_signatures append but before the state_buckets append must
+    state_signatures append but before the later state appends must
     be retryable — the retry rewrites the same deterministic paths
     instead of raising FileNotFoundError forever."""
     cat = StageCatalog(str(tmp_path_factory.mktemp("half_applied")))
@@ -61,8 +61,8 @@ def test_replay_half_applied_first_batch(spark, cfg, tmp_path_factory):
     incremental_batch(batch1, cfg, cat, spark, batch_key="b1")
 
     # simulate the crash window: signatures committed, everything
-    # after (buckets, clusters, ledger) not
-    for t in ("state_buckets", "state_clusters"):
+    # after (clusters, ledger) not
+    for t in ("state_clusters",):
         cat.invalidate(t)
     os.remove(cat._ledger_path())
     assert not cat.batch_applied("b1")

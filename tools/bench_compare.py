@@ -38,7 +38,10 @@ def main(old_path: str, new_path: str) -> None:
         o, n = old_q.get(name), new_q.get(name)
         if o is None or n is None:
             delta = "new" if o is None else "dropped"
-            print(f"| {name} | {o or '—'} | {n or '—'} | {delta} | "
+            # `is None` checks, not truthiness: a legitimate 0.0
+            # timing must render as 0.0, not '—' (ADVICE r5)
+            print(f"| {name} | {'—' if o is None else o} "
+                  f"| {'—' if n is None else n} | {delta} | "
                   f"{new_med.get(name, '—')} |")
             continue
         pct = (n - o) / o * 100.0
@@ -55,4 +58,8 @@ def main(old_path: str, new_path: str) -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        raise SystemExit(
+            "usage: python tools/bench_compare.py OLD_BENCH.json NEW_BENCH.json"
+        )
     main(*sys.argv[1:3])

@@ -40,7 +40,7 @@ CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 # heap, and a cold JVM makes the one-shot-vs-incremental comparison
 # honest (same warm-up policy as bench._e2e_dedup_seconds)
 _CODE = """
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from face_duplicate_detection_spark.catalog import StageCatalog
@@ -80,7 +80,15 @@ warm = docs.filter(docs.doc_id % 10 == 3).limit(64 * {shuffle})
 run_pipeline(warm, cfg, input_kind="documents").clusters.count()
 spark.catalog.clearCache()
 
-root = tempfile.mkdtemp(prefix="inc_campaign_")
+# state catalog on tmpfs, matching spark.local.dir (session.py): this
+# sandbox's /tmp is disk-backed and serializes concurrent readers, so
+# a /tmp catalog would charge the incremental path disk I/O the
+# one-shot's in-memory localCheckpoint stages never pay — the
+# production analogue for BOTH is per-executor NVMe
+root = tempfile.mkdtemp(
+    prefix="inc_campaign_",
+    dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+)
 cat = StageCatalog(root)
 batch_walls, batch_sizes = [], []
 for k in range(K):
@@ -131,7 +139,15 @@ def main() -> None:
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-6000:])
         raise SystemExit("incremental campaign failed")
-    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    # last line that parses as a JSON object — robust to stray stdout
+    # emitted during interpreter/session shutdown (ADVICE r5)
+    payload = None
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            payload = json.loads(line)
+            break
+    if payload is None:
+        raise SystemExit("campaign child printed no JSON payload")
     rec = {
         "n_batches": N_BATCHES,
         "cores": CORES,
