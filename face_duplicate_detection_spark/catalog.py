@@ -35,8 +35,16 @@ def session_scratch(prefix: str = "fdds_stage_") -> str:
     outlives the creating function — DataFrames returned from it stay
     LAZY and parquet-backed instead of needing a driver-side
     ``cache().count()`` materialization before the dir vanishes
-    (VERDICT r4 next-round #8).  Removed at interpreter exit."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    (VERDICT r4 next-round #8).  Removed at interpreter exit.
+
+    Placed on tmpfs when available (round 6), the same choice — and
+    the same per-executor-NVMe production analogue — session.py makes
+    for ``spark.local.dir``: this sandbox's /tmp is disk-backed and
+    serializes concurrent readers, which taxed every catalog-backed
+    query (lineage, ledger, incremental) relative to the
+    memory-checkpointed pipeline stages."""
+    shm_ok = os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+    d = tempfile.mkdtemp(prefix=prefix, dir="/dev/shm" if shm_ok else None)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
